@@ -1,0 +1,25 @@
+"""Test harness: run everything on CPU with 8 fake devices (SURVEY.md §4.2).
+
+Must set XLA_FLAGS/JAX_PLATFORMS before jax initializes its backend, hence a
+conftest at import time. The one real TPU chip (axon platform) is never used
+by tests — its first-compiles are slow and it has only 1 device; multi-device
+sharding tests need the fake CPU mesh.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,49 @@
+"""Monocular depth branch (SURVEY.md §2.1 #5).
+
+Hourglass encoder-decoder (MegaDepth/monodepth-style topology per the spec's
+"depth-guided" contract): stride-2 conv encoder, bilinear-upsample decoder
+with skip connections, 1-channel inverse-depth output through softplus
+(positive, near-0 = far). The absolute scale is irrelevant — fusion only
+uses relative depth agreement (models/fusion.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from video_super_resolution_tpu.models.common import ConvLReLU
+from video_super_resolution_tpu.ops.resize import resize_bilinear
+
+
+class DepthNet(nn.Module):
+    channels: int = 64
+    levels: int = 4
+    slope: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """(B, H, W, 3) frame -> (B, H, W, 1) inverse depth. H, W must be
+        multiples of 2^levels (caller pads)."""
+        x = x.astype(self.dtype)
+        c = self.channels
+        h = ConvLReLU(c, slope=self.slope, dtype=self.dtype)(x)
+        skips = []
+        for l in range(self.levels):
+            skips.append(h)
+            h = ConvLReLU(min(c * 2 ** (l + 1), 4 * c), strides=2,
+                          slope=self.slope, dtype=self.dtype)(h)
+            h = ConvLReLU(min(c * 2 ** (l + 1), 4 * c),
+                          slope=self.slope, dtype=self.dtype)(h)
+        for l in reversed(range(self.levels)):
+            skip = skips[l]
+            h = resize_bilinear(h, skip.shape[1], skip.shape[2]).astype(self.dtype)
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = ConvLReLU(skip.shape[-1], slope=self.slope, dtype=self.dtype)(h)
+        depth = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
+                        param_dtype=jnp.float32)(h.astype(jnp.float32))
+        return nn.softplus(depth)

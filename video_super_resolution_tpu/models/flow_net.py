@@ -1,0 +1,124 @@
+"""Coarse-to-fine optical flow with cost-volume correlation (SURVEY.md §2.1 #1-4).
+
+PWC-style design re-thought for XLA: the level loop is a *static* Python loop
+(true data dependence across levels, SURVEY.md §3.3 — it stays sequential
+inside one jit program; parallelism comes from batch x neighbors x space).
+Per level:
+
+    flow_up = 2 * bilinear_up(flow)                  # pixels at this level
+    warped  = backward_warp(nbr_feat, flow_up)
+    cv      = lrelu(correlation(ref_feat, warped))   # (2d+1)^2 channels
+    flow    = flow_up + estimator(cv, ref_feat, flow_up)
+
+with a DenseNet-style estimator (each conv's input concats all previous
+outputs) and a dilated-conv context network refining the finest-level flow.
+Flow is estimated down to the 1/2-resolution pyramid level and upsampled x2
+to full resolution at the end (scaled accordingly).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from video_super_resolution_tpu.models.common import ConvLReLU, lrelu
+from video_super_resolution_tpu.models.feature_pyramid import FeaturePyramid
+from video_super_resolution_tpu.ops.correlation import correlation
+from video_super_resolution_tpu.ops.resize import resize_bilinear
+from video_super_resolution_tpu.ops.warp import backward_warp
+
+
+class DenseFlowEstimator(nn.Module):
+    """DenseNet-connected conv stack predicting a 2-channel flow residual."""
+
+    channels: Tuple[int, ...] = (128, 128, 96, 64, 32)
+    slope: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        feats = x
+        for c in self.channels:
+            out = ConvLReLU(c, slope=self.slope, dtype=self.dtype)(feats)
+            feats = jnp.concatenate([feats, out], axis=-1)
+        flow = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32,
+                       param_dtype=jnp.float32)(feats.astype(jnp.float32))
+        return feats, flow
+
+
+class ContextNetwork(nn.Module):
+    """Dilated-conv refinement of the finest flow (PWC context network)."""
+
+    channels: Tuple[int, ...] = (128, 128, 128, 96, 64, 32)
+    dilations: Tuple[int, ...] = (1, 2, 4, 8, 16, 1)
+    slope: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jax.Array, flow: jax.Array) -> jax.Array:
+        h = jnp.concatenate([feat.astype(self.dtype), flow.astype(self.dtype)], -1)
+        for c, d in zip(self.channels, self.dilations):
+            h = ConvLReLU(c, dilation=d, slope=self.slope, dtype=self.dtype)(h)
+        return nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32,
+                       param_dtype=jnp.float32)(h.astype(jnp.float32))
+
+
+class FlowNet(nn.Module):
+    """ref, nbr (B,H,W,3) -> flow (B,H,W,2) mapping ref pixels into nbr.
+
+    H, W must be multiples of 2^pyramid_levels (the caller pads — see
+    VSRModel). Flow is returned in pixels at full resolution.
+    """
+
+    pyramid_channels: Tuple[int, ...] = (16, 32, 64, 96, 128)
+    estimator_channels: Tuple[int, ...] = (128, 128, 96, 64, 32)
+    context_channels: Tuple[int, ...] = (128, 128, 128, 96, 64, 32)
+    max_displacement: int = 4
+    slope: float = 0.1
+    use_pallas: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ref: jax.Array, nbr: jax.Array) -> jax.Array:
+        ref = ref.astype(self.dtype)
+        nbr = nbr.astype(self.dtype)
+        pyramid = FeaturePyramid(self.pyramid_channels, self.slope, dtype=self.dtype)
+        pyr_r = pyramid(ref)
+        pyr_n = pyramid(nbr)
+        levels = len(pyr_r)
+
+        flow = None
+        feat = None
+        for l in reversed(range(levels)):  # coarsest -> finest (level 0 = 1/2 res)
+            fr, fn = pyr_r[l], pyr_n[l]
+            b, h, w, _ = fr.shape
+            if flow is None:
+                flow_up = jnp.zeros((b, h, w, 2), jnp.float32)
+                warped = fn
+            else:
+                flow_up = 2.0 * resize_bilinear(flow, h, w)
+                warped = backward_warp(fn, flow_up, use_pallas=self.use_pallas)
+            cv = lrelu(
+                correlation(fr, warped, self.max_displacement,
+                            use_pallas=self.use_pallas),
+                self.slope,
+            ).astype(self.dtype)
+            est_in = jnp.concatenate(
+                [cv, fr, flow_up.astype(self.dtype)], axis=-1
+            )
+            feat, residual = DenseFlowEstimator(
+                self.estimator_channels, self.slope, dtype=self.dtype,
+                name=f"estimator_l{l}",
+            )(est_in)
+            flow = flow_up + residual
+
+        flow = flow + ContextNetwork(
+            self.context_channels, slope=self.slope, dtype=self.dtype
+        )(feat, flow)
+
+        # level 0 is 1/2 resolution: upsample x2 to full res, scale pixels.
+        full_h, full_w = ref.shape[1], ref.shape[2]
+        return 2.0 * resize_bilinear(flow, full_h, full_w)

@@ -1,0 +1,55 @@
+"""SR reconstruction head with sub-pixel upsampling (SURVEY.md §2.1 #7).
+
+Residual conv trunk on fused features, then x4 upsampling as two
+conv→pixel-shuffle(2)→LReLU stages, a final 3-channel conv, plus a bilinear
+x4 skip of the reference frame (the network learns the residual detail).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from video_super_resolution_tpu.models.common import ConvLReLU, ResBlock, lrelu
+from video_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
+from video_super_resolution_tpu.ops.resize import resize_bilinear
+
+
+class SRHead(nn.Module):
+    features: int = 64
+    blocks: int = 10
+    scale: int = 4
+    slope: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, fused: jax.Array, ref_frame: jax.Array) -> jax.Array:
+        """fused (B,H,W,F), ref_frame (B,H,W,3) -> (B, H*scale, W*scale, 3)."""
+        if self.scale not in (2, 4):
+            raise ValueError("scale must be 2 or 4")
+        dt = self.dtype
+        h = ConvLReLU(self.features, slope=self.slope, dtype=dt)(fused.astype(dt))
+        trunk_in = h
+        for _ in range(self.blocks):
+            h = ResBlock(self.features, slope=self.slope, dtype=dt)(h)
+        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=dt,
+                    param_dtype=jnp.float32)(h)
+        h = h + trunk_in                                  # global trunk skip
+
+        ups = self.scale // 2
+        for _ in range(ups):
+            h = nn.Conv(self.features * 4, (3, 3), padding="SAME", dtype=dt,
+                        param_dtype=jnp.float32)(h)
+            h = pixel_shuffle(h, 2)
+            h = lrelu(h, self.slope)
+        out = nn.Conv(3, (3, 3), padding="SAME", dtype=jnp.float32,
+                      param_dtype=jnp.float32)(h.astype(jnp.float32))
+
+        b, hh, ww, _ = ref_frame.shape
+        skip = resize_bilinear(
+            ref_frame.astype(jnp.float32), hh * self.scale, ww * self.scale
+        )
+        return out + skip

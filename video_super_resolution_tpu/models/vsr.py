@@ -1,0 +1,114 @@
+"""Full VSR model: flow -> warp -> depth-guided fusion -> SR (SURVEY.md §3.1).
+
+One jit-compiled forward over a temporal window (B, T, H, W, 3) -> the x4
+HR center frame (B, 4H, 4W, 3). TPU-first structure:
+
+- All per-neighbor work (flow estimation, warping) folds the neighbor axis
+  into the batch axis — one big batched program fills the MXU instead of a
+  python loop over neighbors (SURVEY.md §7.2-4).
+- All per-frame work (frame encoder, depth net) folds the T axis likewise.
+- Inputs are replicate-padded to a multiple of 2^max(pyramid, depth levels)
+  once at the top; everything inside is static-shaped.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from video_super_resolution_tpu.config import ModelConfig
+from video_super_resolution_tpu.models.common import ConvLReLU, crop_to, pad_to_multiple
+from video_super_resolution_tpu.models.depth_net import DepthNet
+from video_super_resolution_tpu.models.flow_net import FlowNet
+from video_super_resolution_tpu.models.fusion import DepthGuidedFusion
+from video_super_resolution_tpu.models.sr_head import SRHead
+from video_super_resolution_tpu.ops.warp import backward_warp
+
+
+class VSRModel(nn.Module):
+    cfg: ModelConfig = ModelConfig()
+    use_pallas: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, window: jax.Array, return_aux: bool = False
+    ) -> Union[jax.Array, Dict[str, jax.Array]]:
+        cfg = self.cfg
+        b, t, h0, w0, _ = window.shape
+        center = t // 2
+        mult = 2 ** max(len(cfg.pyramid_channels), cfg.depth_levels)
+        window, (h0, w0) = pad_to_multiple(window, mult)
+        _, _, h, w, _ = window.shape
+        n = t - 1
+
+        ref = window[:, center]                                        # (B,H,W,3)
+        nbr_idx = [i for i in range(t) if i != center]
+        nbrs = jnp.stack([window[:, i] for i in nbr_idx], axis=1)      # (B,N,H,W,3)
+
+        # ---- flow: all neighbors in one batched program ----
+        ref_rep = jnp.broadcast_to(ref[:, None], (b, n, h, w, 3)).reshape(
+            b * n, h, w, 3
+        )
+        nbrs_flat = nbrs.reshape(b * n, h, w, 3)
+        flows = FlowNet(
+            pyramid_channels=cfg.pyramid_channels,
+            estimator_channels=cfg.flow_estimator_channels,
+            context_channels=cfg.context_channels,
+            max_displacement=cfg.max_displacement,
+            slope=cfg.lrelu_slope,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype,
+            name="flow_net",
+        )(ref_rep, nbrs_flat)                                          # (B*N,H,W,2)
+
+        # ---- frame encoder + depth: all T frames in one batched program ----
+        frames_flat = window.reshape(b * t, h, w, 3)
+        enc = ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
+                        dtype=self.dtype, name="frame_encoder_0")(frames_flat)
+        enc = ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
+                        dtype=self.dtype, name="frame_encoder_1")(enc)
+        feats = enc.reshape(b, t, h, w, cfg.fusion_channels)
+
+        depths = DepthNet(
+            channels=cfg.depth_channels, levels=cfg.depth_levels,
+            slope=cfg.lrelu_slope, dtype=self.dtype, name="depth_net",
+        )(frames_flat).reshape(b, t, h, w, 1)
+
+        ref_feat = feats[:, center]
+        ref_depth = depths[:, center]
+        nbr_feats = jnp.stack([feats[:, i] for i in nbr_idx], 1)       # (B,N,H,W,F)
+        nbr_depths = jnp.stack([depths[:, i] for i in nbr_idx], 1)
+
+        # ---- warp neighbor features + depth in one gather ----
+        fd = jnp.concatenate(
+            [nbr_feats, nbr_depths.astype(nbr_feats.dtype)], axis=-1
+        ).reshape(b * n, h, w, cfg.fusion_channels + 1)
+        warped = backward_warp(fd, flows, use_pallas=self.use_pallas)
+        warped = warped.reshape(b, n, h, w, cfg.fusion_channels + 1)
+        warped_feats = warped[..., : cfg.fusion_channels]
+        warped_depths = warped[..., cfg.fusion_channels:]
+
+        fused = DepthGuidedFusion(
+            features=cfg.fusion_channels, slope=cfg.lrelu_slope,
+            dtype=self.dtype, name="fusion",
+        )(ref_feat, warped_feats, ref_depth, warped_depths)
+
+        # crop padding off before the SR head so HR output is exactly 4x input
+        fused = crop_to(fused, h0, w0)
+        ref_c = crop_to(ref, h0, w0)
+        hr = SRHead(
+            features=cfg.sr_channels, blocks=cfg.sr_blocks, scale=cfg.scale,
+            slope=cfg.lrelu_slope, dtype=self.dtype, name="sr_head",
+        )(fused, ref_c)
+
+        if return_aux:
+            return {
+                "hr": hr,
+                "flows": flows.reshape(b, n, h, w, 2)[:, :, :h0, :w0],
+                "depth": ref_depth[:, :h0, :w0],
+            }
+        return hr

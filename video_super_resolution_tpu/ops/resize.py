@@ -1,0 +1,129 @@
+"""Separable bilinear/bicubic resize with pinned semantics.
+
+Parity-critical (SURVEY.md §7.2-3): the bicubic downscale used to generate LR
+frames and the upsampled skip connection can each blow the ±0.05 dB budget if
+their conventions drift. This module pins them explicitly:
+
+- ``resize_bicubic(..., a=-0.5, antialias=True)``  — MATLAB/PIL-style
+  ``imresize`` (the VSR-dataset convention for LR generation).
+- ``resize_bicubic(..., a=-0.75, antialias=False)`` — torch
+  ``F.interpolate(mode="bicubic", align_corners=False)``.
+- ``resize_bilinear`` — torch ``F.interpolate(mode="bilinear")``.
+
+Formulation: separable 1-D resamples along H then W. For each output index we
+precompute (at trace time, shapes are static) a fixed-width tap window —
+first-tap indices (out,) and tap weights (out, K) — then the resample is a
+K-tap gather + weighted sum per axis. No dense (out, in) matrix, no dynamic
+shapes; K is ~4 for upsampling and ~4·scale for antialiased downscale.
+Out-of-range taps clamp to the border (replicate) with weights renormalized,
+matching MATLAB/torch edge behavior.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cubic_kernel(x: np.ndarray, a: float) -> np.ndarray:
+    ax = np.abs(x)
+    ax2, ax3 = ax * ax, ax * ax * ax
+    w = np.where(
+        ax <= 1,
+        (a + 2) * ax3 - (a + 3) * ax2 + 1,
+        np.where(ax < 2, a * ax3 - 5 * a * ax2 + 8 * a * ax - 4 * a, 0.0),
+    )
+    return w
+
+
+def _linear_kernel(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    return np.maximum(1 - ax, 0.0)
+
+
+def _resample_weights(in_size: int, out_size: int, kernel: str, a: float,
+                      antialias: bool, align_corners: bool, edge: str):
+    """Tap indices/weights for one axis. Returns (idx (out,K) int32, w (out,K) f32).
+
+    edge="replicate": out-of-range taps clamp to the border (MATLAB imresize).
+    edge="exclude":   out-of-range taps dropped, weights renormalized over the
+                      in-range taps (PIL / torch ``antialias=True``).
+    """
+    scale = in_size / out_size
+    support = 2.0 if kernel == "cubic" else 1.0
+    # Antialias widens the kernel by the downscale factor.
+    s = max(scale, 1.0) if (antialias and scale > 1.0) else 1.0
+    k_width = int(math.ceil(support * s)) * 2 + 2
+    out_idx = np.arange(out_size, dtype=np.float64)
+    if align_corners and out_size > 1:
+        centers = out_idx * (in_size - 1) / (out_size - 1)
+    else:
+        centers = (out_idx + 0.5) * scale - 0.5
+    first = np.floor(centers - support * s) + 1  # leftmost tap
+    taps = first[:, None] + np.arange(k_width)[None, :]          # (out, K)
+    dist = (centers[:, None] - taps) / s
+    if kernel == "cubic":
+        w = _cubic_kernel(dist, a)
+    else:
+        w = _linear_kernel(dist)
+    if edge == "exclude":
+        w = np.where((taps < 0) | (taps > in_size - 1), 0.0, w)
+    wsum = w.sum(axis=1, keepdims=True)
+    w = w / np.where(wsum == 0, 1.0, wsum)
+    idx = np.clip(taps, 0, in_size - 1).astype(np.int32)
+    return jnp.asarray(idx), jnp.asarray(w.astype(np.float32))
+
+
+def _resample_axis(x: jax.Array, axis: int, out_size: int, kernel: str,
+                   a: float, antialias: bool, align_corners: bool,
+                   edge: str = "replicate") -> jax.Array:
+    in_size = x.shape[axis]
+    if in_size == out_size and not antialias:
+        return x
+    idx, w = _resample_weights(in_size, out_size, kernel, a, antialias,
+                               align_corners, edge)
+    k_width = idx.shape[1]
+    # gathered[k] = take(x, idx[:, k], axis); accumulate w[:, k] * gathered.
+    wshape = [1] * x.ndim
+    wshape[axis] = out_size
+    out = None
+    for k in range(k_width):
+        g = jnp.take(x, idx[:, k], axis=axis).astype(jnp.float32)
+        wk = w[:, k].reshape(wshape)
+        out = g * wk if out is None else out + g * wk
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_h", "out_w", "a", "antialias", "align_corners", "edge"),
+)
+def resize_bicubic(x: jax.Array, out_h: int, out_w: int, a: float = -0.5,
+                   antialias: bool = True, align_corners: bool = False,
+                   edge: str = "replicate") -> jax.Array:
+    """Bicubic resize of NHWC (or HWC / HW) arrays. See module docstring for presets."""
+    dtype = x.dtype
+    h_ax = x.ndim - 3 if x.ndim >= 3 else 0
+    w_ax = h_ax + 1
+    y = _resample_axis(x, h_ax, out_h, "cubic", a, antialias, align_corners, edge)
+    y = _resample_axis(y, w_ax, out_w, "cubic", a, antialias, align_corners, edge)
+    return y.astype(dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_h", "out_w", "antialias", "align_corners", "edge"),
+)
+def resize_bilinear(x: jax.Array, out_h: int, out_w: int,
+                    antialias: bool = False, align_corners: bool = False,
+                    edge: str = "replicate") -> jax.Array:
+    dtype = x.dtype
+    h_ax = x.ndim - 3 if x.ndim >= 3 else 0
+    w_ax = h_ax + 1
+    y = _resample_axis(x, h_ax, out_h, "linear", 0.0, antialias, align_corners, edge)
+    y = _resample_axis(y, w_ax, out_w, "linear", 0.0, antialias, align_corners, edge)
+    return y.astype(dtype)

@@ -1,0 +1,107 @@
+"""Flow-guided backward warp (grid-sample) — SURVEY.md §2.1 #4.
+
+The reference family warps neighbor frames/features onto the reference frame
+with ``F.grid_sample`` (or a Resample2d CUDA ext): bilinear sample of the
+input at ``x + flow(x)``. Torch-semantics knobs that are parity-critical
+(SURVEY.md §7.2-3) are explicit arguments here and pinned by tests against
+the torch oracle:
+
+- ``align_corners=True`` grid normalization (the 2019-era torch default).
+- padding mode: "zeros" (out-of-bounds taps contribute 0) or "border"
+  (coordinates clamped to the edge).
+
+Flow convention: ``flow[..., 0]`` displaces along W (x), ``flow[..., 1]``
+along H (y), in pixels.
+
+XLA formulation: one flattened-HW gather of the 4 bilinear taps + blend.
+Fully differentiable (gather transposes to scatter-add). The Pallas kernel
+(``ops/pallas/warp_tpu.py``) replaces the gather with per-tile dynamic
+slices for the hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode", "use_pallas"))
+def backward_warp(
+    img: jax.Array,
+    flow: jax.Array,
+    padding_mode: str = "zeros",
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Bilinear backward warp: out(x) = img(x + flow(x)).
+
+    Args:
+      img: (B, H, W, C) input to sample from.
+      flow: (B, H, W, 2) pixel displacements (dx, dy).
+      padding_mode: "zeros" | "border".
+      use_pallas: route to the Pallas TPU kernel.
+
+    Returns:
+      (B, H, W, C) warped image, dtype of ``img``.
+    """
+    if padding_mode not in ("zeros", "border"):
+        raise ValueError(f"bad padding_mode {padding_mode}")
+    if use_pallas:
+        from video_super_resolution_tpu.ops.pallas.warp_tpu import warp_pallas
+
+        return warp_pallas(img, flow, padding_mode)
+    return _warp_xla(img, flow, padding_mode)
+
+
+def _warp_xla(img: jax.Array, flow: jax.Array, padding_mode: str) -> jax.Array:
+    b, h, w, c = img.shape
+    dtype = img.dtype
+    # Sample coordinates in f32 pixel space.
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = xs[None] + flow[..., 0].astype(jnp.float32)   # (B,H,W)
+    sy = ys[None] + flow[..., 1].astype(jnp.float32)
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+
+    def tap(yi, xi):
+        """Gather img[b, yi, xi, :] with clamped indices; returns tap + validity."""
+        valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = img.reshape(b, h * w, c)
+        idx = yc * w + xc                              # (B,H,W)
+        g = jnp.take_along_axis(
+            flat, idx.reshape(b, h * w, 1), axis=1
+        ).reshape(b, h, w, c)
+        return g, valid
+
+    t00, v00 = tap(y0, x0)
+    t01, v01 = tap(y0, x0 + 1)
+    t10, v10 = tap(y0 + 1, x0)
+    t11, v11 = tap(y0 + 1, x0 + 1)
+
+    w00 = ((1 - wy) * (1 - wx))[..., None]
+    w01 = ((1 - wy) * wx)[..., None]
+    w10 = (wy * (1 - wx))[..., None]
+    w11 = (wy * wx)[..., None]
+
+    if padding_mode == "zeros":
+        # Each tap contributes only if in-bounds (torch zeros semantics).
+        t00 = jnp.where(v00[..., None], t00, 0)
+        t01 = jnp.where(v01[..., None], t01, 0)
+        t10 = jnp.where(v10[..., None], t10, 0)
+        t11 = jnp.where(v11[..., None], t11, 0)
+    # "border": clamped indices already implement it.
+
+    out = (
+        w00 * t00.astype(jnp.float32)
+        + w01 * t01.astype(jnp.float32)
+        + w10 * t10.astype(jnp.float32)
+        + w11 * t11.astype(jnp.float32)
+    )
+    return out.astype(dtype)

@@ -1,0 +1,77 @@
+"""jit-compiled train/eval steps (SURVEY.md §3.1 — the reference's whole
+per-step stack collapses into ONE compiled program here).
+
+Data parallelism is sharding-driven: the batch arrives sharded over the mesh
+"data" axis; jit + GSPMD partitions the step and inserts the gradient
+all-reduce (psum over ICI) automatically. No pmap, no hand-written
+collectives in the step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_super_resolution_tpu.ops.losses import charbonnier_loss
+from video_super_resolution_tpu.runtime.mesh import AXIS_DATA
+from video_super_resolution_tpu.training.state import TrainState
+
+
+def make_train_step(
+    charbonnier_eps: float = 1e-6,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, dict], Tuple[TrainState, dict]]:
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: {"lr": (B,T,h,w,3), "hr": (B,H,W,3)}. With a mesh, batch inputs
+    are constrained to be sharded over the "data" axis and params replicated.
+    """
+
+    def loss_fn(params, apply_fn, batch):
+        pred = apply_fn({"params": params}, batch["lr"])
+        loss = charbonnier_loss(pred, batch["hr"], charbonnier_eps)
+        mse = jnp.mean(
+            (pred.astype(jnp.float32) - batch["hr"].astype(jnp.float32)) ** 2
+        )
+        return loss, mse
+
+    def step(state: TrainState, batch: dict):
+        if mesh is not None:
+            bspec = NamedSharding(mesh, P(AXIS_DATA))
+            batch = jax.lax.with_sharding_constraint(
+                batch, {"lr": bspec, "hr": bspec}
+            )
+        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.apply_fn, batch
+        )
+        gnorm = optax_global_norm(grads)
+        state = state.apply_gradients(grads=grads)
+        metrics = {
+            "loss": loss,
+            "psnr_proxy": -10.0 * jnp.log10(jnp.maximum(mse, 1e-12)),
+            "grad_norm": gnorm,
+        }
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def optax_global_norm(tree) -> jax.Array:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves))
+
+
+def make_eval_step(apply_fn) -> Callable:
+    """jit forward: (params, lr_window) -> hr prediction, clipped to [0,1]."""
+
+    @jax.jit
+    def eval_step(params, lr):
+        pred = apply_fn({"params": params}, lr)
+        return jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+
+    return eval_step
