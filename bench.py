@@ -1,0 +1,137 @@
+"""Headline benchmark: frames/s/chip for 540p->4K x4 VSR inference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+
+The BASELINE metric is "frames/s/chip at 720p→4K x4" (BASELINE.md); x4 from
+960x540 LR yields exactly 3840x2160 (4K), so the bench input is 960x540
+(the "720p-class to 4K" configuration that is self-consistent with x4).
+The reference publishes no numbers (BASELINE.json.published == {}), so
+vs_baseline is measured against this repo's own recorded first measurement
+(bench_baseline.json) — ratio > 1.0 means faster than round-1.
+
+Runs on whatever jax.devices()[0] is (the real TPU chip under the driver;
+CPU with --cpu). Uses bf16 compute, fp32 params, window=3, batch=1 windows
+streamed sequentially — the serving configuration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--h", type=int, default=540)
+    ap.add_argument("--w", type=int, default=960)
+    ap.add_argument("--frames", type=int, default=8, help="timed windows")
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--quick", action="store_true",
+                    help="180x320 shape for smoke runs")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use Pallas kernels for correlation/warp")
+    ap.add_argument("--record-baseline", action="store_true",
+                    help="store this run as the vs_baseline reference")
+    args = ap.parse_args()
+    if args.quick:
+        args.h, args.w = 180, 320
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+    import jax
+
+    if args.cpu and jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_super_resolution_tpu import VSRConfig
+    from video_super_resolution_tpu.training.state import create_train_state
+    from video_super_resolution_tpu.training.step import make_eval_step
+
+    cfg = VSRConfig().replace(use_pallas=args.pallas)
+    state = create_train_state(cfg)
+    eval_step = make_eval_step(state.apply_fn)
+
+    import functools
+
+    import jax.numpy as jnp  # noqa: F811
+
+    rng = np.random.default_rng(0)
+    window = jnp.asarray(
+        rng.random((1, cfg.model.window, args.h, args.w, 3)), jnp.float32
+    )
+
+    # Device-honest timing: the axon tunnel's block_until_ready does not
+    # serialize queued work, so host-side per-call timing under-reports.
+    # Instead run N model invocations inside ONE program with a scalar data
+    # dependence chaining iteration i -> i+1 (forces sequential execution
+    # on-device), and transfer a single scalar at the end. total/N is the
+    # per-frame latency, immune to tunnel/dispatch semantics.
+    model_apply = state.apply_fn
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(params, w0, n):
+        def body(w, _):
+            hr = model_apply({"params": params}, w)
+            dep = jnp.mean(hr).astype(jnp.float32) * jnp.float32(1e-12)
+            return w + dep, jnp.mean(hr)
+        w, means = jax.lax.scan(body, w0, None, length=n)
+        return jnp.sum(means)
+
+    t0 = time.time()
+    s = float(chained(state.params, window, args.frames))
+    compile_s = time.time() - t0
+    assert np.isfinite(s)
+    for _ in range(args.warmup):
+        float(chained(state.params, window, args.frames))
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        s = float(chained(state.params, window, args.frames))
+    elapsed = (time.time() - t0) / reps
+    fps = args.frames / elapsed
+
+    metric = f"frames_per_sec_per_chip_{args.h}x{args.w}_to_x4"
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        try:
+            rec = json.load(open(BASELINE_FILE))
+            baseline = rec.get(metric)
+        except Exception:
+            pass
+    if args.record_baseline:
+        rec = {}
+        if os.path.exists(BASELINE_FILE):
+            try:
+                rec = json.load(open(BASELINE_FILE))
+            except Exception:
+                rec = {}
+        rec[metric] = fps
+        json.dump(rec, open(BASELINE_FILE, "w"), indent=2)
+    vs_baseline = (fps / baseline) if baseline else 1.0
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(fps, 4),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(vs_baseline, 4),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+        "out_shape": [1, args.h * 4, args.w * 4, 3],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
 
+import jax  # noqa: E402
+
+# The axon PJRT plugin force-prepends "axon" to jax_platforms at import,
+# overriding the env var — without this, tests silently run on the real TPU.
+if jax.config.jax_platforms != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

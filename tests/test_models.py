@@ -1,0 +1,118 @@
+"""Model modules: shapes, padding, flow sanity on synthetic motion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_super_resolution_tpu.config import ModelConfig
+from video_super_resolution_tpu.models import (
+    DepthGuidedFusion,
+    DepthNet,
+    FeaturePyramid,
+    FlowNet,
+    SRHead,
+    VSRModel,
+)
+
+TINY = ModelConfig(
+    pyramid_channels=(8, 16),
+    flow_estimator_channels=(16, 16),
+    context_channels=(16, 16),
+    depth_channels=8,
+    depth_levels=2,
+    fusion_channels=16,
+    sr_channels=16,
+    sr_blocks=2,
+)
+
+
+def test_feature_pyramid_shapes(rng):
+    m = FeaturePyramid(channels=(8, 16, 32))
+    x = jnp.asarray(rng.random((2, 32, 64, 3)), jnp.float32)
+    feats = m.apply(m.init(jax.random.key(0), x), x)
+    assert [f.shape for f in feats] == [
+        (2, 16, 32, 8), (2, 8, 16, 16), (2, 4, 8, 32)
+    ]
+
+
+def test_depth_net_shapes(rng):
+    m = DepthNet(channels=8, levels=2)
+    x = jnp.asarray(rng.random((1, 16, 24, 3)), jnp.float32)
+    d = m.apply(m.init(jax.random.key(0), x), x)
+    assert d.shape == (1, 16, 24, 1)
+    assert float(d.min()) >= 0.0  # softplus output
+
+
+def test_flow_net_shapes(rng):
+    m = FlowNet(pyramid_channels=(8, 16), estimator_channels=(16, 16),
+                context_channels=(16, 16), max_displacement=2)
+    ref = jnp.asarray(rng.random((1, 16, 32, 3)), jnp.float32)
+    nbr = jnp.asarray(rng.random((1, 16, 32, 3)), jnp.float32)
+    params = m.init(jax.random.key(0), ref, nbr)
+    flow = m.apply(params, ref, nbr)
+    assert flow.shape == (1, 16, 32, 2)
+    assert flow.dtype == jnp.float32
+
+
+def test_fusion_shapes(rng):
+    m = DepthGuidedFusion(features=16)
+    rf = jnp.asarray(rng.random((2, 8, 8, 16)), jnp.float32)
+    wf = jnp.asarray(rng.random((2, 3, 8, 8, 16)), jnp.float32)
+    rd = jnp.asarray(rng.random((2, 8, 8, 1)), jnp.float32)
+    wd = jnp.asarray(rng.random((2, 3, 8, 8, 1)), jnp.float32)
+    out = m.apply(m.init(jax.random.key(0), rf, wf, rd, wd), rf, wf, rd, wd)
+    assert out.shape == (2, 8, 8, 16)
+
+
+def test_fusion_prefers_depth_consistent_neighbor(rng):
+    """A neighbor with huge warped-depth disagreement should not dominate:
+    softmax weights respond to the depth-difference input channel."""
+    m = DepthGuidedFusion(features=8)
+    rf = jnp.ones((1, 4, 4, 8))
+    wf = jnp.stack([jnp.full((1, 4, 4, 8), 1.0), jnp.full((1, 4, 4, 8), -1.0)], 1)
+    rd = jnp.ones((1, 4, 4, 1))
+    wd_same = jnp.stack([jnp.ones((1, 4, 4, 1)), jnp.ones((1, 4, 4, 1))], 1)
+    params = m.init(jax.random.key(0), rf, wf, rd, wd_same)
+    out_same = m.apply(params, rf, wf, rd, wd_same)
+    wd_diff = jnp.stack([jnp.ones((1, 4, 4, 1)), 50 * jnp.ones((1, 4, 4, 1))], 1)
+    out_diff = m.apply(params, rf, wf, rd, wd_diff)
+    # outputs must differ: depth disagreement feeds the gate
+    assert float(jnp.abs(out_same - out_diff).max()) > 1e-6
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+def test_sr_head_shapes(rng, scale):
+    m = SRHead(features=16, blocks=2, scale=scale)
+    fused = jnp.asarray(rng.random((1, 8, 12, 16)), jnp.float32)
+    ref = jnp.asarray(rng.random((1, 8, 12, 3)), jnp.float32)
+    out = m.apply(m.init(jax.random.key(0), fused, ref), fused, ref)
+    assert out.shape == (1, 8 * scale, 12 * scale, 3)
+
+
+@pytest.mark.parametrize("t,hw", [(3, (24, 32)), (5, (17, 23))])
+def test_vsr_model_shapes(rng, t, hw):
+    m = VSRModel(cfg=TINY)
+    x = jnp.asarray(rng.random((1, t, *hw, 3)), jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (1, hw[0] * 4, hw[1] * 4, 3)
+
+
+def test_vsr_model_aux(rng):
+    m = VSRModel(cfg=TINY)
+    x = jnp.asarray(rng.random((1, 3, 16, 16, 3)), jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    aux = m.apply(params, x, return_aux=True)
+    assert aux["hr"].shape == (1, 64, 64, 3)
+    assert aux["flows"].shape == (1, 2, 16, 16, 2)
+    assert aux["depth"].shape == (1, 16, 16, 1)
+
+
+def test_vsr_model_bf16_runs(rng):
+    m = VSRModel(cfg=TINY, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.random((1, 3, 16, 16, 3)), jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+    assert out.dtype == jnp.float32  # head/skip keep f32
+    assert np.isfinite(np.asarray(out)).all()

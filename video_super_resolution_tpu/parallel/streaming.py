@@ -5,19 +5,26 @@ Pipeline:
 
     runtime.initialize_distributed -> mesh ("time" over hosts, "space" over
     local chips) -> each host loads its timeline shard -> one jit program:
-    [shard_map over "time": frame halo ppermute + window assembly]
-    x [GSPMD over "space": H-sharded model forward] -> HR frames, timeline
-    order preserved, written host-side.
+    timeline halo exchange + window assembly + spatially-sharded model
+    forward -> HR frames in timeline order.
 
-The combined program nests the GSPMD-spatial model inside the temporal
-shard_map: within a "time" shard the model forward is jit-traced with
-"space" sharding constraints, so XLA emits conv halo exchanges on the
-"space" sub-axis while the explicit frame halo rides "time".
+Two interchangeable implementations (equal outputs, tested):
+
+- time-only mesh: explicit shard_map + ppermute of boundary frames over ICI
+  (parallel/temporal.py) — the mechanism the spec names, with the halo
+  transfer visible and schedulable.
+- time x space mesh: one GSPMD program. Window assembly slices the
+  time-sharded timeline (XLA emits the boundary-frame collective-permutes)
+  and every activation is constrained H-on-"space" (XLA emits conv
+  receptive-field halos). Nesting GSPMD spatial partitioning *inside* a
+  manual time shard_map is deliberately avoided: XLA's SPMD partitioner
+  cannot mix manual and auto axes through this model (hard Check failure
+  observed on jax 0.9) — one partitioning regime per program.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -26,12 +33,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from video_super_resolution_tpu.config import VSRConfig
 from video_super_resolution_tpu.models.vsr import VSRModel
-from video_super_resolution_tpu.parallel.temporal import (
-    halo_exchange_frames,
-    _windows_from_extended,
-)
+from video_super_resolution_tpu.parallel.temporal import temporal_shard_forward
 from video_super_resolution_tpu.runtime.dtypes import DTypePolicy
 from video_super_resolution_tpu.runtime.mesh import AXIS_SPACE, AXIS_TIME
+
+
+def _build_model(cfg: VSRConfig) -> VSRModel:
+    policy = DTypePolicy.from_strings(cfg.train.compute_dtype)
+    return VSRModel(cfg=cfg.model, use_pallas=cfg.use_pallas,
+                    dtype=policy.compute_dtype)
 
 
 def make_streaming_program(
@@ -43,52 +53,53 @@ def make_streaming_program(
 ) -> Callable:
     """Build fn(params, frames (T, h, w, 3)) -> (T, h*scale, w*scale, 3).
 
-    T = frames_per_device * time_size must hold; frames arrive sharded over
-    "time" (the caller device_puts with that sharding). Each time-shard
-    assembles its windows after the frame-halo ppermute and runs them in
-    chunks of ``window_batch`` through the spatially-sharded model.
+    frames arrive sharded over "time" (caller device_puts with P("time")).
+    T = frames_per_device * time_size.
     """
-    policy = DTypePolicy.from_strings(cfg.train.compute_dtype)
-    model = VSRModel(cfg=cfg.model, use_pallas=cfg.use_pallas,
-                     dtype=policy.compute_dtype)
     window = cfg.model.window
     r = window // 2
-    scale = cfg.model.scale
-    h, w = frame_hw
     use_space = mesh.shape.get(AXIS_SPACE, 1) > 1
+    model = _build_model(cfg)
 
-    def forward_windows(params, windows: jax.Array) -> jax.Array:
-        # windows: (F, window, h, w, 3) — chunk to bound activation memory.
-        f = windows.shape[0]
-        nb = max(1, window_batch)
-        outs = []
-        for i in range(0, f, nb):
-            chunk = windows[i : i + nb]
-            if use_space:
-                chunk = jax.lax.with_sharding_constraint(
-                    chunk, NamedSharding(mesh, P(None, None, AXIS_SPACE))
-                )
-            out = model.apply({"params": params}, chunk)
-            if use_space:
-                out = jax.lax.with_sharding_constraint(
-                    out, NamedSharding(mesh, P(None, AXIS_SPACE))
-                )
-            outs.append(out)
-        return jnp.concatenate(outs, axis=0)
+    if not use_space:
+        def forward_windows_closed(params):
+            def fw(windows):
+                return model.apply({"params": params}, windows)
+            return fw
 
-    def shard_fn(params, frames_local: jax.Array) -> jax.Array:
-        ext = halo_exchange_frames(frames_local, r, AXIS_TIME)
-        windows = _windows_from_extended(ext, frames_local.shape[0], window)
-        return forward_windows(params, windows)
+        def run(params, frames):
+            fn = temporal_shard_forward(
+                forward_windows_closed(params), mesh, window
+            )
+            return fn(frames)
 
-    sharded = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), P(AXIS_TIME)),
-        out_specs=P(AXIS_TIME),
-        check_vma=False,  # params closed over replicated; spatial constraint inside
-    )
-    return jax.jit(sharded)
+        # temporal_shard_forward already jits; wrap to keep one call signature
+        return run
+
+    t_total = None  # static per trace from frames.shape
+
+    def program(params, frames: jax.Array) -> jax.Array:
+        t = frames.shape[0]
+        frames = jax.lax.with_sharding_constraint(
+            frames, NamedSharding(mesh, P(AXIS_TIME, AXIS_SPACE))
+        )
+        # Replicate-pad the timeline ends (clip edge policy), then assemble
+        # sliding windows; slicing across the time-sharded axis makes XLA
+        # emit the boundary-frame exchange.
+        ext = jnp.concatenate(
+            [jnp.repeat(frames[:1], r, axis=0), frames,
+             jnp.repeat(frames[-1:], r, axis=0)], axis=0
+        )
+        windows = jnp.stack([ext[i : i + window] for i in range(t)], axis=0)
+        windows = jax.lax.with_sharding_constraint(
+            windows, NamedSharding(mesh, P(AXIS_TIME, None, AXIS_SPACE))
+        )
+        out = model.apply({"params": params}, windows)
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P(AXIS_TIME, AXIS_SPACE))
+        )
+
+    return jax.jit(program)
 
 
 def stream_clip(
