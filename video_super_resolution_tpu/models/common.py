@@ -23,9 +23,11 @@ def lrelu(x: jax.Array, slope: float = 0.1) -> jax.Array:
 class ConvLReLU(nn.Module):
     """3x3 conv + bias + LeakyReLU — the workhorse block.
 
-    The Pallas fused conv+bias+LReLU kernel (ops/pallas/fused_conv.py) is a
-    drop-in for this block's math on the hot path; XLA already fuses the
-    bias+LReLU epilogue into the conv, so the default path is this module.
+    Owns its kernel/bias params directly (HWIO, fp32) so the Pallas fused
+    conv+bias+LReLU kernel (ops/pallas/fused_conv.py) is a drop-in on the
+    hot path: same params, same math. use_pallas routes stride-1 dilation-1
+    3x3 calls through the kernel; everything else (and the default path)
+    uses the XLA conv, whose bias+LReLU epilogue XLA fuses itself.
     """
 
     features: int
@@ -33,20 +35,48 @@ class ConvLReLU(nn.Module):
     kernel: int = 3
     dilation: int = 1
     slope: float = 0.1
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.strides, self.strides),
-            kernel_dilation=(self.dilation, self.dilation),
-            padding="SAME",
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
-        return lrelu(x, self.slope)
+        cin = x.shape[-1]
+        kern = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        fast = (
+            self.use_pallas and self.kernel == 3 and self.strides == 1
+            and self.dilation == 1
+        )
+        if fast:
+            from video_super_resolution_tpu.ops.pallas.fused_conv import (
+                fused_conv3x3,
+            )
+            from video_super_resolution_tpu.ops.pallas.util import should_interpret
+
+            x = x.astype(self.dtype)
+            return fused_conv3x3(
+                x, kern.astype(self.dtype), bias.astype(self.dtype),
+                self.slope, False, should_interpret(),
+            )
+        # NB: no preferred_element_type here — with bf16 operands its conv
+        # transpose feeds an f32 cotangent into a bf16 conv and fails; the
+        # TPU MXU accumulates bf16 convs in f32 natively anyway.
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kern.astype(self.dtype),
+            (self.strides, self.strides), "SAME",
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = (out.astype(jnp.float32) + bias[None, None, None, :]).astype(
+            self.dtype
+        )
+        return lrelu(out, self.slope)
 
 
 class ResBlock(nn.Module):
@@ -54,11 +84,13 @@ class ResBlock(nn.Module):
 
     features: int
     slope: float = 0.1
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = ConvLReLU(self.features, slope=self.slope, dtype=self.dtype)(x)
+        h = ConvLReLU(self.features, slope=self.slope, dtype=self.dtype,
+                      use_pallas=self.use_pallas)(x)
         h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
                     param_dtype=jnp.float32)(h)
         return x + h

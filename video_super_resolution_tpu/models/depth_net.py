@@ -23,6 +23,7 @@ class DepthNet(nn.Module):
     channels: int = 64
     levels: int = 4
     slope: float = 0.1
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -31,19 +32,22 @@ class DepthNet(nn.Module):
         multiples of 2^levels (caller pads)."""
         x = x.astype(self.dtype)
         c = self.channels
-        h = ConvLReLU(c, slope=self.slope, dtype=self.dtype)(x)
+        h = ConvLReLU(c, slope=self.slope, dtype=self.dtype,
+                      use_pallas=self.use_pallas)(x)
         skips = []
         for l in range(self.levels):
             skips.append(h)
             h = ConvLReLU(min(c * 2 ** (l + 1), 4 * c), strides=2,
                           slope=self.slope, dtype=self.dtype)(h)
             h = ConvLReLU(min(c * 2 ** (l + 1), 4 * c),
-                          slope=self.slope, dtype=self.dtype)(h)
+                          slope=self.slope, dtype=self.dtype,
+                          use_pallas=self.use_pallas)(h)
         for l in reversed(range(self.levels)):
             skip = skips[l]
             h = resize_bilinear(h, skip.shape[1], skip.shape[2]).astype(self.dtype)
             h = jnp.concatenate([h, skip], axis=-1)
-            h = ConvLReLU(skip.shape[-1], slope=self.slope, dtype=self.dtype)(h)
+            h = ConvLReLU(skip.shape[-1], slope=self.slope, dtype=self.dtype,
+                          use_pallas=self.use_pallas)(h)
         depth = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
                         param_dtype=jnp.float32)(h.astype(jnp.float32))
         return nn.softplus(depth)

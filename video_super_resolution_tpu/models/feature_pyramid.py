@@ -19,6 +19,7 @@ from video_super_resolution_tpu.models.common import ConvLReLU
 class FeaturePyramid(nn.Module):
     channels: Tuple[int, ...] = (16, 32, 64, 96, 128)
     slope: float = 0.1
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -27,6 +28,7 @@ class FeaturePyramid(nn.Module):
         h = x
         for c in self.channels:
             h = ConvLReLU(c, strides=2, slope=self.slope, dtype=self.dtype)(h)
-            h = ConvLReLU(c, strides=1, slope=self.slope, dtype=self.dtype)(h)
+            h = ConvLReLU(c, strides=1, slope=self.slope, dtype=self.dtype,
+                          use_pallas=self.use_pallas)(h)
             feats.append(h)
         return feats

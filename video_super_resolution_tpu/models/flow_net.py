@@ -36,13 +36,15 @@ class DenseFlowEstimator(nn.Module):
 
     channels: Tuple[int, ...] = (128, 128, 96, 64, 32)
     slope: float = 0.1
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         feats = x
         for c in self.channels:
-            out = ConvLReLU(c, slope=self.slope, dtype=self.dtype)(feats)
+            out = ConvLReLU(c, slope=self.slope, dtype=self.dtype,
+                            use_pallas=self.use_pallas)(feats)
             feats = jnp.concatenate([feats, out], axis=-1)
         flow = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32,
                        param_dtype=jnp.float32)(feats.astype(jnp.float32))
@@ -85,7 +87,8 @@ class FlowNet(nn.Module):
     def __call__(self, ref: jax.Array, nbr: jax.Array) -> jax.Array:
         ref = ref.astype(self.dtype)
         nbr = nbr.astype(self.dtype)
-        pyramid = FeaturePyramid(self.pyramid_channels, self.slope, dtype=self.dtype)
+        pyramid = FeaturePyramid(self.pyramid_channels, self.slope,
+                                 use_pallas=self.use_pallas, dtype=self.dtype)
         pyr_r = pyramid(ref)
         pyr_n = pyramid(nbr)
         levels = len(pyr_r)
@@ -111,7 +114,7 @@ class FlowNet(nn.Module):
             )
             feat, residual = DenseFlowEstimator(
                 self.estimator_channels, self.slope, dtype=self.dtype,
-                name=f"estimator_l{l}",
+                use_pallas=self.use_pallas, name=f"estimator_l{l}",
             )(est_in)
             flow = flow_up + residual
 

@@ -35,6 +35,7 @@ from video_super_resolution_tpu.models.common import ConvLReLU
 class DepthGuidedFusion(nn.Module):
     features: int = 64
     slope: float = 0.1
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -64,7 +65,8 @@ class DepthGuidedFusion(nn.Module):
             ],
             axis=-1,
         ).reshape(b * n, h, w, -1)
-        s = ConvLReLU(self.features, slope=self.slope, dtype=dt)(score_in)
+        s = ConvLReLU(self.features, slope=self.slope, dtype=dt,
+                      use_pallas=self.use_pallas)(score_in)
         s = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
                     param_dtype=jnp.float32)(s.astype(jnp.float32))
         scores = s.reshape(b, n, h, w, 1)
@@ -76,6 +78,8 @@ class DepthGuidedFusion(nn.Module):
         fused_in = jnp.concatenate(
             [ref_feat, agg.astype(dt), ref_depth32.astype(dt)], axis=-1
         )
-        h1 = ConvLReLU(self.features, slope=self.slope, dtype=dt)(fused_in)
-        h2 = ConvLReLU(self.features, slope=self.slope, dtype=dt)(h1)
+        h1 = ConvLReLU(self.features, slope=self.slope, dtype=dt,
+                       use_pallas=self.use_pallas)(fused_in)
+        h2 = ConvLReLU(self.features, slope=self.slope, dtype=dt,
+                       use_pallas=self.use_pallas)(h1)
         return h2

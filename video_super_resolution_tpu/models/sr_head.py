@@ -23,6 +23,7 @@ class SRHead(nn.Module):
     blocks: int = 10
     scale: int = 4
     slope: float = 0.1
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -31,20 +32,46 @@ class SRHead(nn.Module):
         if self.scale not in (2, 4):
             raise ValueError("scale must be 2 or 4")
         dt = self.dtype
-        h = ConvLReLU(self.features, slope=self.slope, dtype=dt)(fused.astype(dt))
+        h = ConvLReLU(self.features, slope=self.slope, dtype=dt,
+                      use_pallas=self.use_pallas)(fused.astype(dt))
         trunk_in = h
         for _ in range(self.blocks):
-            h = ResBlock(self.features, slope=self.slope, dtype=dt)(h)
+            h = ResBlock(self.features, slope=self.slope, dtype=dt,
+                         use_pallas=self.use_pallas)(h)
         h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=dt,
                     param_dtype=jnp.float32)(h)
         h = h + trunk_in                                  # global trunk skip
 
-        ups = self.scale // 2
-        for _ in range(ups):
-            h = nn.Conv(self.features * 4, (3, 3), padding="SAME", dtype=dt,
-                        param_dtype=jnp.float32)(h)
-            h = pixel_shuffle(h, 2)
-            h = lrelu(h, self.slope)
+        # Upsample stages own their params directly so the Pallas fused
+        # conv->depth-to-space->lrelu epilogue and the XLA path share one
+        # param tree (checkpoint-compatible either way).
+        for u in range(self.scale // 2):
+            cin = h.shape[-1]
+            kern = self.param(
+                f"upsample_{u}_kernel", nn.initializers.lecun_normal(),
+                (3, 3, cin, self.features * 4), jnp.float32,
+            )
+            bias = self.param(f"upsample_{u}_bias", nn.initializers.zeros,
+                              (self.features * 4,), jnp.float32)
+            if self.use_pallas:
+                from video_super_resolution_tpu.ops.pallas.fused_conv import (
+                    fused_conv3x3,
+                )
+                from video_super_resolution_tpu.ops.pallas.util import (
+                    should_interpret,
+                )
+
+                h = fused_conv3x3(h.astype(dt), kern.astype(dt),
+                                  bias.astype(dt), self.slope, True,
+                                  should_interpret())
+            else:
+                h = jax.lax.conv_general_dilated(
+                    h.astype(dt), kern.astype(dt), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                h = (h.astype(jnp.float32) + bias[None, None, None, :]).astype(dt)
+                h = pixel_shuffle(h, 2)
+                h = lrelu(h, self.slope)
         out = nn.Conv(3, (3, 3), padding="SAME", dtype=jnp.float32,
                       param_dtype=jnp.float32)(h.astype(jnp.float32))
 

@@ -68,14 +68,17 @@ class VSRModel(nn.Module):
         # ---- frame encoder + depth: all T frames in one batched program ----
         frames_flat = window.reshape(b * t, h, w, 3)
         enc = ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
-                        dtype=self.dtype, name="frame_encoder_0")(frames_flat)
+                        dtype=self.dtype, use_pallas=self.use_pallas,
+                        name="frame_encoder_0")(frames_flat)
         enc = ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
-                        dtype=self.dtype, name="frame_encoder_1")(enc)
+                        dtype=self.dtype, use_pallas=self.use_pallas,
+                        name="frame_encoder_1")(enc)
         feats = enc.reshape(b, t, h, w, cfg.fusion_channels)
 
         depths = DepthNet(
             channels=cfg.depth_channels, levels=cfg.depth_levels,
-            slope=cfg.lrelu_slope, dtype=self.dtype, name="depth_net",
+            slope=cfg.lrelu_slope, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="depth_net",
         )(frames_flat).reshape(b, t, h, w, 1)
 
         ref_feat = feats[:, center]
@@ -94,7 +97,7 @@ class VSRModel(nn.Module):
 
         fused = DepthGuidedFusion(
             features=cfg.fusion_channels, slope=cfg.lrelu_slope,
-            dtype=self.dtype, name="fusion",
+            dtype=self.dtype, use_pallas=self.use_pallas, name="fusion",
         )(ref_feat, warped_feats, ref_depth, warped_depths)
 
         # crop padding off before the SR head so HR output is exactly 4x input
@@ -102,7 +105,8 @@ class VSRModel(nn.Module):
         ref_c = crop_to(ref, h0, w0)
         hr = SRHead(
             features=cfg.sr_channels, blocks=cfg.sr_blocks, scale=cfg.scale,
-            slope=cfg.lrelu_slope, dtype=self.dtype, name="sr_head",
+            slope=cfg.lrelu_slope, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="sr_head",
         )(fused, ref_c)
 
         if return_aux:

@@ -55,8 +55,9 @@ def correlation(
         from video_super_resolution_tpu.ops.pallas.correlation_tpu import (
             correlation_pallas,
         )
+        from video_super_resolution_tpu.ops.pallas.util import should_interpret
 
-        return correlation_pallas(f1, f2, max_displacement)
+        return correlation_pallas(f1, f2, max_displacement, should_interpret())
     return _correlation_xla(f1, f2, max_displacement)
 
 

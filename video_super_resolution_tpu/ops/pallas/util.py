@@ -1,0 +1,19 @@
+"""Shared Pallas helpers: interpret-mode policy (SURVEY.md §5.2).
+
+Every kernel runs in interpreter mode off-TPU so tests/CI on the CPU backend
+never block on device compiles, and the same numerics are checkable
+everywhere. On the TPU backend kernels compile with Mosaic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def should_interpret() -> bool:
+    if os.environ.get("VSR_PALLAS_INTERPRET", "") == "1":
+        return True
+    # axon is the experimental TPU PJRT platform in this environment
+    return jax.default_backend() not in ("tpu", "axon")

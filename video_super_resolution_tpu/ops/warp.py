@@ -49,8 +49,9 @@ def backward_warp(
         raise ValueError(f"bad padding_mode {padding_mode}")
     if use_pallas:
         from video_super_resolution_tpu.ops.pallas.warp_tpu import warp_pallas
+        from video_super_resolution_tpu.ops.pallas.util import should_interpret
 
-        return warp_pallas(img, flow, padding_mode)
+        return warp_pallas(img, flow, padding_mode, should_interpret())
     return _warp_xla(img, flow, padding_mode)
 
 

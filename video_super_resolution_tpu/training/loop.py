@@ -1,0 +1,84 @@
+"""Training loop (SURVEY.md §2.2 #10): steps, periodic eval, async ckpt.
+
+The reference family's epoch loop over a torch DataLoader becomes: an
+infinite host-side batch stream feeding ONE compiled pjit step; validation
+and async Orbax checkpoints on step cadence; metrics to MetricsLogger.
+Resume: restore-latest on startup (crash story, SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from video_super_resolution_tpu.config import VSRConfig
+from video_super_resolution_tpu.data.dataset import ClipDataset
+from video_super_resolution_tpu.evaluation.evaluate import evaluate_all
+from video_super_resolution_tpu.runtime.mesh import AXIS_DATA, build_mesh
+from video_super_resolution_tpu.training.checkpoint import CheckpointManager
+from video_super_resolution_tpu.training.state import create_train_state
+from video_super_resolution_tpu.training.step import make_eval_step, make_train_step
+from video_super_resolution_tpu.utils.logging import MetricsLogger
+
+
+def train(
+    cfg: VSRConfig,
+    train_ds: ClipDataset,
+    eval_ds: Optional[ClipDataset] = None,
+    max_steps: Optional[int] = None,
+    eval_every: Optional[int] = None,
+) -> Dict:
+    steps = max_steps or cfg.train.steps
+    mesh = build_mesh(cfg.mesh) if cfg.mesh.num_devices > 1 else None
+
+    state = create_train_state(cfg)
+    mgr = CheckpointManager(cfg.train.ckpt_dir, keep=cfg.train.keep_ckpts)
+    restored, at = mgr.restore(state)
+    if restored is not None:
+        state = restored
+    start_step = int(state.step)
+
+    step_fn = make_train_step(cfg.train.charbonnier_eps, mesh=mesh)
+    eval_step = make_eval_step(state.apply_fn)
+    logger = MetricsLogger(cfg.train.ckpt_dir, "train")
+
+    bsharding = (
+        NamedSharding(mesh, P(AXIS_DATA)) if mesh is not None else None
+    )
+    batches = train_ds.batches(cfg.data.batch_size)
+    last_eval: Dict = {}
+    import time as _time
+
+    t_last = _time.time()
+    for step in range(start_step, steps):
+        batch = next(batches)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if bsharding is not None:
+            batch = {k: jax.device_put(v, bsharding) for k, v in batch.items()}
+        state, metrics = step_fn(state, batch)
+
+        if (step + 1) % cfg.train.log_every == 0:
+            now = _time.time()
+            sps = cfg.train.log_every / (now - t_last)
+            t_last = now
+            fps = sps * cfg.data.batch_size
+            logger.log(step + 1, {**{k: float(v) for k, v in metrics.items()},
+                                  "steps_per_s": sps, "frames_per_s": fps})
+        if (step + 1) % cfg.train.ckpt_every == 0 or step + 1 == steps:
+            mgr.save(step + 1, state, cfg)
+        if eval_ds is not None and eval_every and (step + 1) % eval_every == 0:
+            last_eval = evaluate_all(
+                eval_step, state.params, eval_ds,
+                cfg.data.y_channel_eval, cfg.data.border_crop,
+            )
+            avg = last_eval["__average__"]
+            logger.log(step + 1, {"eval_psnr": avg["psnr"],
+                                  "eval_ssim": avg["ssim"]}, prefix="eval/")
+
+    mgr.wait()
+    logger.close()
+    return {"state": state, "eval": last_eval, "ckpt": mgr}
