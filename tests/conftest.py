@@ -30,3 +30,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _build_native():
+    """Best-effort build of the native data path so its tests run."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(root, "native", "libvsr_dataio.so")
+    if not os.path.exists(so):
+        subprocess.run(["make", "-C", os.path.join(root, "native")],
+                       capture_output=True, timeout=120)
+    yield

@@ -61,6 +61,12 @@ def _correlation_fwd_pallas(f1: jax.Array, f2: jax.Array, d: int,
                             interpret: bool = False) -> jax.Array:
     b, h, w, c = f1.shape
     k = (2 * d + 1) ** 2
+    if h % 8 and not interpret:
+        # Mosaic blocks need an 8-row tile; coarse pyramid levels (H < 8 or
+        # odd) are tiny — the XLA path is already fine there.
+        from video_super_resolution_tpu.ops.correlation import _correlation_xla
+
+        return _correlation_xla(f1, f2, d)
     th = 8
     while h % th and th > 1:
         th //= 2

@@ -16,6 +16,7 @@ math; conv VJPs are themselves MXU convs, so there is nothing to hand-win).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -30,8 +31,8 @@ def _pick_th(h: int, target: int = 8) -> int:
     return th
 
 
-def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, *, th, w, wp, cin, cout, slope,
-                 shuffle: bool):
+def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, *, th, w, wp, cin, cout,
+                 slope):
     bi = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -52,14 +53,7 @@ def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, *, th, w, wp, cin, cout, slope,
                 )
         acc += b_ref[...].astype(jnp.float32)[None, :]
         acc = jnp.where(acc >= 0, acc, slope * acc)
-        if shuffle:
-            # depth-to-space r=2 with torch channel order (c, ry, rx minor).
-            c_out_s = cout // 4
-            t = acc.reshape(th, w, c_out_s, 2, 2)
-            t = t.transpose(0, 3, 1, 4, 2)               # (th, ry, w, rx, c)
-            out_ref[0] = t.reshape(th * 2, w * 2, c_out_s).astype(out_ref.dtype)
-        else:
-            out_ref[0] = acc.reshape(th, w, cout).astype(out_ref.dtype)
+        out_ref[0] = acc.reshape(th, w, cout).astype(out_ref.dtype)
 
     pl.run_scoped(
         body,
@@ -84,16 +78,12 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret):
     )
     w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
     cin = cin_p
-    if shuffle:
-        out_shape = (bsz, h * 2, wd * 2, cout // 4)
-        out_block = (1, th * 2, wd * 2, cout // 4)
-    else:
-        out_shape = (bsz, h, wd, cout)
-        out_block = (1, th, wd, cout)
-    return pl.pallas_call(
+    out_shape = (bsz, h, wd, cout)
+    out_block = (1, th, wd, cout)
+    out = pl.pallas_call(
         functools.partial(
             _conv_kernel, th=th, w=wd, wp=wd_p, cin=cin, cout=cout,
-            slope=slope, shuffle=shuffle,
+            slope=slope,
         ),
         grid=(bsz, h // th),
         in_specs=[
@@ -108,10 +98,19 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret):
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * wd * cin * cout * 9,
             bytes_accessed=(x.size + w.size) * x.dtype.itemsize
-            + int(jnp.prod(jnp.array(out_shape))) * x.dtype.itemsize,
+            + math.prod(out_shape) * x.dtype.itemsize,
             transcendentals=0,
         ),
     )(xp, w, b)
+    if shuffle:
+        # Depth-to-space stays outside the kernel: Mosaic rejects the
+        # interleaving reshape ("unsupported shape cast") and XLA lowers it
+        # to a relayout that fuses with the consumer; lrelu (elementwise,
+        # already applied in-kernel) commutes with pixel_shuffle.
+        from video_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
+
+        out = pixel_shuffle(out, 2)
+    return out
 
 
 def _xla_conv(x, w, b, slope, shuffle):
