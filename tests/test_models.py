@@ -116,3 +116,17 @@ def test_vsr_model_bf16_runs(rng):
     out = m.apply(params, x)
     assert out.dtype == jnp.float32  # head/skip keep f32
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vsr_model_reference_layout_variant(rng):
+    """two_stage SR head + feature warping (the reference-era layout)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, warp_features=True,
+                              sr_head_style="two_stage")
+    m = VSRModel(cfg=cfg)
+    x = jnp.asarray(rng.random((1, 3, 16, 16, 3)), jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -39,6 +39,14 @@ class ModelConfig:
     sr_channels: int = 64
     sr_blocks: int = 10                 # residual blocks in the SR trunk
     lrelu_slope: float = 0.1
+    # --- TPU performance variants (both preserve the capability contract) ---
+    # warp neighbor frames+depth (4ch) and encode after warping, instead of
+    # warping 64ch features: 16x less gather traffic on the HBM-bound warp
+    warp_features: bool = False
+    # "espcn": trunk + conv(3*scale^2) + one pixel_shuffle(scale) — every
+    # conv at LR. "two_stage": conv→ps2→lrelu twice + 3ch conv at full res
+    # (the torch-reference-era layout).
+    sr_head_style: str = "espcn"
 
     @property
     def num_neighbors(self) -> int:

@@ -64,12 +64,16 @@ class ConvLReLU(nn.Module):
                 x, kern.astype(self.dtype), bias.astype(self.dtype),
                 self.slope, False, should_interpret(),
             )
+        # Explicit symmetric padding = torch Conv2d(padding=k//2) semantics.
+        # XLA "SAME" pads asymmetrically for stride 2 (lo=0, hi=1 on even
+        # inputs) and would silently break torch-weight parity.
         # NB: no preferred_element_type here — with bf16 operands its conv
         # transpose feeds an f32 cotangent into a bf16 conv and fails; the
         # TPU MXU accumulates bf16 convs in f32 natively anyway.
+        p = self.dilation * (self.kernel - 1) // 2
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kern.astype(self.dtype),
-            (self.strides, self.strides), "SAME",
+            (self.strides, self.strides), ((p, p), (p, p)),
             rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )

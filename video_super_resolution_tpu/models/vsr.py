@@ -65,35 +65,52 @@ class VSRModel(nn.Module):
             name="flow_net",
         )(ref_rep, nbrs_flat)                                          # (B*N,H,W,2)
 
-        # ---- frame encoder + depth: all T frames in one batched program ----
+        # ---- depth for all T frames in one batched program ----
         frames_flat = window.reshape(b * t, h, w, 3)
-        enc = ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
-                        dtype=self.dtype, use_pallas=self.use_pallas,
-                        name="frame_encoder_0")(frames_flat)
-        enc = ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
-                        dtype=self.dtype, use_pallas=self.use_pallas,
-                        name="frame_encoder_1")(enc)
-        feats = enc.reshape(b, t, h, w, cfg.fusion_channels)
-
         depths = DepthNet(
             channels=cfg.depth_channels, levels=cfg.depth_levels,
             slope=cfg.lrelu_slope, dtype=self.dtype,
             use_pallas=self.use_pallas, name="depth_net",
         )(frames_flat).reshape(b, t, h, w, 1)
-
-        ref_feat = feats[:, center]
         ref_depth = depths[:, center]
-        nbr_feats = jnp.stack([feats[:, i] for i in nbr_idx], 1)       # (B,N,H,W,F)
         nbr_depths = jnp.stack([depths[:, i] for i in nbr_idx], 1)
 
-        # ---- warp neighbor features + depth in one gather ----
-        fd = jnp.concatenate(
-            [nbr_feats, nbr_depths.astype(nbr_feats.dtype)], axis=-1
-        ).reshape(b * n, h, w, cfg.fusion_channels + 1)
-        warped = backward_warp(fd, flows, use_pallas=self.use_pallas)
-        warped = warped.reshape(b, n, h, w, cfg.fusion_channels + 1)
-        warped_feats = warped[..., : cfg.fusion_channels]
-        warped_depths = warped[..., cfg.fusion_channels:]
+        def encode(frames):  # shared frame encoder, any folded batch
+            e = ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
+                          dtype=self.dtype, use_pallas=self.use_pallas,
+                          name="frame_encoder_0")(frames)
+            return ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
+                             dtype=self.dtype, use_pallas=self.use_pallas,
+                             name="frame_encoder_1")(e)
+
+        if cfg.warp_features:
+            # reference-era layout: encode every frame, warp 64ch features
+            feats = encode(frames_flat).reshape(b, t, h, w, cfg.fusion_channels)
+            ref_feat = feats[:, center]
+            nbr_feats = jnp.stack([feats[:, i] for i in nbr_idx], 1)
+            fd = jnp.concatenate(
+                [nbr_feats, nbr_depths.astype(nbr_feats.dtype)], axis=-1
+            ).reshape(b * n, h, w, cfg.fusion_channels + 1)
+            warped = backward_warp(fd, flows, use_pallas=self.use_pallas)
+            warped = warped.reshape(b, n, h, w, cfg.fusion_channels + 1)
+            warped_feats = warped[..., : cfg.fusion_channels]
+            warped_depths = warped[..., cfg.fusion_channels:]
+        else:
+            # TPU layout: warp 4 channels (frame+depth) — the gather is
+            # HBM-bound, so 16x less traffic — then encode aligned frames.
+            fd = jnp.concatenate(
+                [nbrs_flat,
+                 jnp.stack([depths[:, i] for i in nbr_idx], 1)
+                 .reshape(b * n, h, w, 1).astype(nbrs_flat.dtype)],
+                axis=-1,
+            )
+            warped = backward_warp(fd, flows, use_pallas=self.use_pallas)
+            warped_frames = warped[..., :3]
+            warped_depths = warped[..., 3:].reshape(b, n, h, w, 1)
+            enc_in = jnp.concatenate([ref, warped_frames.astype(ref.dtype)], 0)
+            enc = encode(enc_in)
+            ref_feat = enc[:b]
+            warped_feats = enc[b:].reshape(b, n, h, w, cfg.fusion_channels)
 
         fused = DepthGuidedFusion(
             features=cfg.fusion_channels, slope=cfg.lrelu_slope,
@@ -105,8 +122,8 @@ class VSRModel(nn.Module):
         ref_c = crop_to(ref, h0, w0)
         hr = SRHead(
             features=cfg.sr_channels, blocks=cfg.sr_blocks, scale=cfg.scale,
-            slope=cfg.lrelu_slope, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="sr_head",
+            slope=cfg.lrelu_slope, style=cfg.sr_head_style,
+            dtype=self.dtype, use_pallas=self.use_pallas, name="sr_head",
         )(fused, ref_c)
 
         if return_aux:

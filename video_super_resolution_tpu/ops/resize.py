@@ -78,12 +78,52 @@ def _resample_weights(in_size: int, out_size: int, kernel: str, a: float,
     return jnp.asarray(idx), jnp.asarray(w.astype(np.float32))
 
 
+def _upsample_axis_int_linear(x: jax.Array, axis: int, r: int) -> jax.Array:
+    """Integer-factor bilinear upsample along one axis, gather-free.
+
+    align_corners=False phase decomposition: output index i = j*r + p has
+    center (p + 0.5)/r - 0.5 relative to block j — the two tap offsets and
+    weights depend only on the phase p, so each phase is an elementwise
+    blend of x and its unit shift (edge-replicated), and phases interleave
+    with a reshape. On TPU this is pad + static slices + relayout: no
+    gather, fuses into neighbors.
+    """
+    in_size = x.shape[axis]
+    # edge-replicate one element on both sides, unit shifts become slices
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad, mode="edge")
+    x32 = None
+    phases = []
+    for p in range(r):
+        center = (p + 0.5) / r - 0.5
+        lo = math.floor(center)
+        frac = center - lo
+        # taps at in-index j+lo and j+lo+1  ->  xp slices [j+lo+1], [j+lo+2]
+        i0 = jax.lax.slice_in_dim(xp, lo + 1, lo + 1 + in_size, axis=axis)
+        i1 = jax.lax.slice_in_dim(xp, lo + 2, lo + 2 + in_size, axis=axis)
+        phases.append(
+            i0.astype(jnp.float32) * (1.0 - frac)
+            + i1.astype(jnp.float32) * frac
+        )
+    # interleave: stack phases on a new axis right after `axis`, then merge
+    st = jnp.stack(phases, axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = in_size * r
+    return st.reshape(new_shape)
+
+
 def _resample_axis(x: jax.Array, axis: int, out_size: int, kernel: str,
                    a: float, antialias: bool, align_corners: bool,
                    edge: str = "replicate") -> jax.Array:
     in_size = x.shape[axis]
     if in_size == out_size and not antialias:
         return x
+    if (
+        kernel == "linear" and not antialias and not align_corners
+        and edge == "replicate" and out_size % in_size == 0
+    ):
+        return _upsample_axis_int_linear(x, axis, out_size // in_size)
     idx, w = _resample_weights(in_size, out_size, kernel, a, antialias,
                                align_corners, edge)
     k_width = idx.shape[1]
