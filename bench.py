@@ -29,6 +29,65 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
 
+def bench_train(args, cfg, state):
+    """Device-side training-step throughput (input pipeline excluded):
+    chain N full steps (fwd+bwd+optimizer) with a data dependence through
+    the params inside one program."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_super_resolution_tpu.ops.losses import charbonnier_loss
+
+    b, crop = 4, 64
+    rng = np.random.default_rng(0)
+    batch = {
+        "lr": jnp.asarray(rng.random((b, cfg.model.window, crop, crop, 3)),
+                          jnp.float32),
+        "hr": jnp.asarray(rng.random((b, 4 * crop, 4 * crop, 3)), jnp.float32),
+    }
+
+    def loss_fn(params):
+        pred = state.apply_fn({"params": params}, batch["lr"])
+        return charbonnier_loss(pred, batch["hr"], cfg.train.charbonnier_eps)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(params, opt_state, n):
+        def body(carry, _):
+            p, o = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = state.tx.update(grads, o, p)
+            import optax
+
+            p = optax.apply_updates(p, updates)
+            return (p, o), loss
+        (p, o), losses = jax.lax.scan(body, (params, opt_state), None, length=n)
+        return jnp.sum(losses)
+
+    n = max(4, args.frames // 2)
+    t0 = time.time()
+    s = float(chained(state.params, state.opt_state, n))
+    compile_s = time.time() - t0
+    assert np.isfinite(s)
+    reps = 2
+    t0 = time.time()
+    for _ in range(reps):
+        float(chained(state.params, state.opt_state, n))
+    elapsed = (time.time() - t0) / reps - 0.025
+    sps = n / max(elapsed, 1e-9)
+    print(json.dumps({
+        "metric": f"train_steps_per_sec_b{b}_crop{crop}",
+        "value": round(sps, 4),
+        "unit": "steps/s",
+        "vs_baseline": 1.0,
+        "frames_per_s": round(sps * b, 2),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -40,6 +99,9 @@ def main():
                     help="180x320 shape for smoke runs")
     ap.add_argument("--pallas", action="store_true",
                     help="use Pallas kernels for correlation/warp")
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the training step (batch 4, crop 64) "
+                         "instead of inference")
     ap.add_argument("--record-baseline", action="store_true",
                     help="store this run as the vs_baseline reference")
     args = ap.parse_args()
@@ -62,6 +124,9 @@ def main():
     cfg = VSRConfig().replace(use_pallas=args.pallas)
     state = create_train_state(cfg)
     eval_step = make_eval_step(state.apply_fn)
+
+    if args.train:
+        return bench_train(args, cfg, state)
 
     import functools
 

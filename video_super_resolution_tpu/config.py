@@ -47,6 +47,9 @@ class ModelConfig:
     # conv at LR. "two_stage": conv→ps2→lrelu twice + 3ch conv at full res
     # (the torch-reference-era layout).
     sr_head_style: str = "espcn"
+    # run the depth hourglass on 1/2-res frames and upsample its output x2:
+    # depth is a smooth fusion guide; halves the second-biggest conv cost
+    depth_at_half_res: bool = True
 
     @property
     def num_neighbors(self) -> int:

@@ -97,7 +97,14 @@ class ClipDataset:
 
         if clips_hr is not None:
             self._mem_hr = clips_hr
-            self._mem_lr = clips_lr  # may be None -> on-the-fly degrade
+            if clips_lr is None:
+                # degrade once up front — per-sample degradation of in-memory
+                # clips would redo the same bicubic every epoch
+                clips_lr = {
+                    k: degrade_bicubic(np.asarray(v), scale)
+                    for k, v in clips_hr.items()
+                }
+            self._mem_lr = clips_lr
             self._paths_hr = self._paths_lr = None
             self.clip_names = sorted(clips_hr)
         else:

@@ -67,11 +67,18 @@ class VSRModel(nn.Module):
 
         # ---- depth for all T frames in one batched program ----
         frames_flat = window.reshape(b * t, h, w, 3)
-        depths = DepthNet(
+        depth_net = DepthNet(
             channels=cfg.depth_channels, levels=cfg.depth_levels,
             slope=cfg.lrelu_slope, dtype=self.dtype,
             use_pallas=self.use_pallas, name="depth_net",
-        )(frames_flat).reshape(b, t, h, w, 1)
+        )
+        if cfg.depth_at_half_res:
+            from video_super_resolution_tpu.ops.resize import resize_bilinear
+
+            d_half = depth_net(resize_bilinear(frames_flat, h // 2, w // 2))
+            depths = resize_bilinear(d_half, h, w).reshape(b, t, h, w, 1)
+        else:
+            depths = depth_net(frames_flat).reshape(b, t, h, w, 1)
         ref_depth = depths[:, center]
         nbr_depths = jnp.stack([depths[:, i] for i in nbr_idx], 1)
 

@@ -124,6 +124,16 @@ def _resample_axis(x: jax.Array, axis: int, out_size: int, kernel: str,
         and edge == "replicate" and out_size % in_size == 0
     ):
         return _upsample_axis_int_linear(x, axis, out_size // in_size)
+    if (
+        kernel == "linear" and not antialias and not align_corners
+        and in_size == 2 * out_size
+    ):
+        # exact 1/2 bilinear: tap centers fall midway between pixel pairs,
+        # weights (0.5, 0.5) -> a reshape-mean (no gather)
+        shape = list(x.shape)
+        shape[axis] = out_size
+        shape.insert(axis + 1, 2)
+        return jnp.mean(x.astype(jnp.float32).reshape(shape), axis=axis + 1)
     idx, w = _resample_weights(in_size, out_size, kernel, a, antialias,
                                align_corners, edge)
     k_width = idx.shape[1]
