@@ -102,6 +102,9 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="benchmark the training step (batch 4, crop 64) "
                          "instead of inference")
+    ap.add_argument("--window", type=int, default=None,
+                    help="temporal window override (e.g. 5 for config #3)")
+    ap.add_argument("--batch", type=int, default=1, help="batch size")
     ap.add_argument("--record-baseline", action="store_true",
                     help="store this run as the vs_baseline reference")
     args = ap.parse_args()
@@ -122,6 +125,11 @@ def main():
     from video_super_resolution_tpu.training.step import make_eval_step
 
     cfg = VSRConfig().replace(use_pallas=args.pallas)
+    if args.window:
+        import dataclasses
+
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    window=args.window))
     state = create_train_state(cfg)
     eval_step = make_eval_step(state.apply_fn)
 
@@ -134,7 +142,8 @@ def main():
 
     rng = np.random.default_rng(0)
     window = jnp.asarray(
-        rng.random((1, cfg.model.window, args.h, args.w, 3)), jnp.float32
+        rng.random((args.batch, cfg.model.window, args.h, args.w, 3)),
+        jnp.float32,
     )
 
     # Device-honest timing: the axon tunnel's block_until_ready does not
@@ -177,7 +186,10 @@ def main():
     elapsed = (time.time() - t0) / reps - pull_s
     fps = args.frames / max(elapsed, 1e-9)
 
+    fps = fps * args.batch
     metric = f"frames_per_sec_per_chip_{args.h}x{args.w}_to_x4"
+    if args.batch > 1 or (args.window or 3) != 3:
+        metric += f"_b{args.batch}_w{args.window or 3}"
     baseline = None
     if os.path.exists(BASELINE_FILE):
         try:
@@ -203,7 +215,7 @@ def main():
         "vs_baseline": round(vs_baseline, 4),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
-        "out_shape": [1, args.h * 4, args.w * 4, 3],
+        "out_shape": [args.batch, args.h * 4, args.w * 4, 3],
     }))
 
 
