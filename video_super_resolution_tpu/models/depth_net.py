@@ -30,6 +30,20 @@ class DepthNet(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         """(B, H, W, 3) frame -> (B, H, W, 1) inverse depth. H, W must be
         multiples of 2^levels (caller pads)."""
+        # axon-XLA miscompile guard: the fused hourglass program produces
+        # NaN column bands when the deepest level has H % 8 != 0 AND
+        # W % 4 != 0 (measured on TPU v5lite/axon: 17x30 and 18x30 NaN;
+        # 16x30, 17x32, 17x60 clean; CPU always clean, and
+        # capture_intermediates also clean — a whole-program fusion bug,
+        # not a numerics bug). Replicate-pad W so the deepest level is a
+        # multiple of 4, crop after: interior numerics are unchanged and
+        # the extra cost is bounded by 4*2^levels-1 columns.
+        w_in = x.shape[-2]
+        w_mult = 4 * 2 ** self.levels
+        if w_in % w_mult:
+            pad = [(0, 0)] * x.ndim
+            pad[-2] = (0, (-w_in) % w_mult)
+            x = jnp.pad(x, pad, mode="edge")
         x = x.astype(self.dtype)
         c = self.channels
         h = ConvLReLU(c, slope=self.slope, dtype=self.dtype,
@@ -50,4 +64,4 @@ class DepthNet(nn.Module):
                           use_pallas=self.use_pallas)(h)
         depth = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
                         param_dtype=jnp.float32)(h.astype(jnp.float32))
-        return nn.softplus(depth)
+        return nn.softplus(depth)[..., :, :w_in, :]
