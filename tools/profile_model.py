@@ -118,7 +118,7 @@ def main():
             float(chained(*xs))
         per_ms = (time.time() - t0) / reps / args.n * 1000
         print(json.dumps({"stage": name, "ms": round(per_ms, 3),
-                          "compile_s": round(compile_s, 1)}))
+                          "compile_s": round(compile_s, 1)}), flush=True)
         return per_ms
 
     full = timed("full_model", lambda wdw: state.apply_fn(
@@ -172,7 +172,7 @@ def main():
         fused_feat, warped_feats, depth1, depthn)
     parts["sr_head"] = timed(
         "sr_head", lambda f, r: sr_mod.apply({"params": p["sr_head"]}, f, r),
-        fused_feat, ref[:, : args.h, : args.w])
+        fused_feat[:, : args.h, : args.w], ref[:, : args.h, : args.w])
 
     # micro-ops inside flow_net, finest level
     parts_corr = timed(

@@ -27,12 +27,15 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("padding_mode", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("padding_mode", "use_pallas", "impl")
+)
 def backward_warp(
     img: jax.Array,
     flow: jax.Array,
     padding_mode: str = "zeros",
     use_pallas: bool = False,
+    impl: str = "auto",
 ) -> jax.Array:
     """Bilinear backward warp: out(x) = img(x + flow(x)).
 
@@ -41,17 +44,29 @@ def backward_warp(
       flow: (B, H, W, 2) pixel displacements (dx, dy).
       padding_mode: "zeros" | "border".
       use_pallas: route to the Pallas TPU kernel.
+      impl: "auto" | "tiled" | "gather". "tiled" is the TPU-fast
+        shift-select formulation (ops/warp_tiled.py) — exact for smooth
+        flow, clamps pathological in-tile flow spread (> 8 px inside one
+        8x128 tile). "gather" is the per-pixel-exact XLA gather (slow on
+        TPU: the gather scalarizes). "auto" = tiled for zeros mode,
+        gather otherwise.
 
     Returns:
       (B, H, W, C) warped image, dtype of ``img``.
     """
     if padding_mode not in ("zeros", "border"):
         raise ValueError(f"bad padding_mode {padding_mode}")
+    if impl not in ("auto", "tiled", "gather"):
+        raise ValueError(f"bad impl {impl}")
     if use_pallas:
         from video_super_resolution_tpu.ops.pallas.warp_tpu import warp_pallas
         from video_super_resolution_tpu.ops.pallas.util import should_interpret
 
         return warp_pallas(img, flow, padding_mode, should_interpret())
+    if impl == "tiled" or (impl == "auto" and padding_mode == "zeros"):
+        from video_super_resolution_tpu.ops.warp_tiled import warp_tiled
+
+        return warp_tiled(img, flow)
     return _warp_xla(img, flow, padding_mode)
 
 

@@ -1,0 +1,133 @@
+"""Tiled shift-select backward warp — the TPU-fast formulation.
+
+Why: XLA's (and Mosaic's) per-element gather is effectively scalarized on
+TPU — measured 31 ms for a (2,544,960,4) warp on the v5e chip, ~30 ns per
+index row, vs an HBM-bandwidth bound of ~0.1 ms. grid_sample is the
+reference family's second custom CUDA op (SURVEY.md §2.1 #4), so a gather
+that slow poisons both the flow pyramid and the final alignment warp.
+
+Formulation (no per-pixel gather anywhere):
+
+1. Tile the output into (TY=8, TX=128) register tiles. Per tile, take the
+   *integer base* of the flow: oy = min over the tile of (floor(sy) - y),
+   ox = min of (floor(sx) - x). Extract one input patch per tile of static
+   shape (TY+rd+2, TX+rd+2) at dynamic offset (oy, ox) — a lax.gather of
+   ~4k large slices (cheap; index-row count is what makes gathers slow).
+2. Per pixel, the remaining index is the *residual* ry = floor(sy)-y-oy,
+   rx = floor(sx)-x-ox ∈ [0, rd]. The 4-tap bilinear read becomes a sum of
+   (rd+2)^2 statically-shifted patch slices weighted by separable one-hot
+   blend vectors:
+
+       out[j,x] = sum_k sum_u vy[k] * vx[u] * patch[j+k, x+u]
+       vy[k] = (1-wy)*[ry==k] + wy*[ry==k-1]     (vx analogous)
+
+   Static slices + elementwise FMAs — exactly the shape of the cost-volume
+   op, which XLA fuses to VPU-resident loops.
+
+Exactness: identical to the gather formulation (zeros padding mode,
+align_corners=True pixel convention — ops/warp.py docstring) whenever the
+in-tile flow spread fits the residual budget: max-min of floor(sy)-y within
+an 8x128 tile <= rd (same for x). Smooth optical flow satisfies this easily
+(rd=8 tolerates |d flow/dx| up to 8/128 px/px of zoom/rotation gradient);
+pixels beyond the budget clamp to the nearest representable tap. The exact
+gather path stays available via backward_warp(impl="gather").
+
+Gradients: the one-hots are piecewise-constant (zero grad, like floor); wy,
+wx carry the same d out/d flow as grid_sample; patches are extracted by
+gather whose transpose is a cheap large-slice scatter-add. Plain autodiff
+therefore reproduces grid_sample's gradient without a custom VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("rd", "ty", "tx"))
+def warp_tiled(img: jax.Array, flow: jax.Array, rd: int = 8,
+               ty: int = 8, tx: int = 128) -> jax.Array:
+    """Bilinear backward warp, zeros padding mode: out(x) = img(x+flow(x)).
+
+    Args:
+      img: (B, H, W, C); flow: (B, H, W, 2) pixel displacements (dx, dy).
+      rd: residual budget — exact while in-tile integer-flow spread <= rd.
+      ty, tx: output tile (sublane x lane register tile).
+
+    Returns (B, H, W, C) in img.dtype, f32 accumulation inside.
+    """
+    b, h, w, c = img.shape
+    hp, wp = _ceil_to(h, ty), _ceil_to(w, tx)
+    ny, nx = hp // ty, wp // tx
+
+    # Pad the grid; flow replicate-padded so edge tiles keep a coherent base.
+    if (hp, wp) != (h, w):
+        flow = jnp.pad(flow, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                       mode="edge")
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
+    # Clamp source coords to [-1, size]: in zeros mode everything at or
+    # beyond that range contributes exactly 0 through zero-padded taps, and
+    # the clamp keeps every patch window in (padded-)bounds.
+    sx = jnp.clip(xs[None] + flow[..., 0].astype(jnp.float32), -1.0, float(w))
+    sy = jnp.clip(ys[None] + flow[..., 1].astype(jnp.float32), -1.0, float(h))
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0).reshape(b, ny, ty, nx, tx).transpose(0, 1, 3, 2, 4)
+    wy = (sy - y0).reshape(b, ny, ty, nx, tx).transpose(0, 1, 3, 2, 4)
+
+    # Integer flow offsets (tap index minus output index), tiled.
+    fy = (y0 - ys[None]).astype(jnp.int32)
+    fx = (x0 - xs[None]).astype(jnp.int32)
+    fy = fy.reshape(b, ny, ty, nx, tx).transpose(0, 1, 3, 2, 4)  # (B,ny,nx,ty,tx)
+    fx = fx.reshape(b, ny, ty, nx, tx).transpose(0, 1, 3, 2, 4)
+    oy = jax.lax.stop_gradient(jnp.min(fy, axis=(3, 4)))          # (B,ny,nx)
+    ox = jax.lax.stop_gradient(jnp.min(fx, axis=(3, 4)))
+    ry = jnp.clip(fy - oy[..., None, None], 0, rd)
+    rx = jnp.clip(fx - ox[..., None, None], 0, rd)
+
+    # Zero-pad the image so every patch window is in range:
+    # absolute patch rows span [oy + tile_y0, oy + tile_y0 + KP) with
+    # oy in [-1-(ty-1)-?, h]... conservative pads of (ty+rd+2 | tx+rd+2).
+    kp, sp = ty + rd + 2, tx + rd + 2
+    py, px = ty + rd + 2, tx + rd + 2
+    imgp = jnp.pad(img, ((0, 0), (py, py), (px, px), (0, 0)))
+
+    tile_y0 = jnp.arange(ny, dtype=jnp.int32)[None, :, None] * ty
+    tile_x0 = jnp.arange(nx, dtype=jnp.int32)[None, None, :] * tx
+    start_y = jnp.clip(oy + tile_y0 + py, 0, h + 2 * py - kp)
+    start_x = jnp.clip(ox + tile_x0 + px, 0, w + 2 * px - sp)
+
+    def slice_one(im, sy0, sx0):
+        return jax.lax.dynamic_slice(im, (sy0, sx0, 0), (kp, sp, c))
+
+    patches = jax.vmap(  # over batch
+        jax.vmap(jax.vmap(slice_one, in_axes=(None, 0, 0)),
+                 in_axes=(None, 0, 0))
+    )(imgp, start_y, start_x)                     # (B, ny, nx, KP, SP, C)
+    patches = patches.astype(jnp.float32)
+
+    one = jnp.float32(1)
+    acc = jnp.zeros((b, ny, nx, ty, tx, c), jnp.float32)
+    for k in range(rd + 2):
+        vy = (one - wy) * (ry == k) + wy * (ry == (k - 1))
+        row = None
+        for u in range(rd + 2):
+            vx = (one - wx) * (rx == u) + wx * (rx == (u - 1))
+            sl = jax.lax.slice(
+                patches, (0, 0, 0, k, u, 0),
+                (b, ny, nx, k + ty, u + tx, c),
+            )
+            term = vx[..., None] * sl
+            row = term if row is None else row + term
+        acc = acc + vy[..., None] * row
+
+    out = acc.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+    return out[:, :h, :w].astype(img.dtype)
