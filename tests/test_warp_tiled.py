@@ -26,9 +26,11 @@ def _smooth_flow(rng, b, h, w, mag, coarse=4):
 
 @pytest.mark.parametrize("shape", [(2, 32, 128, 4), (1, 40, 200, 3)])
 def test_tiled_matches_gather_smooth(rng, shape):
+    # mag=3 over a 4x4 coarse grid keeps the flow gradient within the
+    # tiled path's documented exactness domain (~1 px/px in y, 0.5 in x).
     b, h, w, c = shape
     img = jnp.asarray(rng.random(shape), jnp.float32)
-    flow = _smooth_flow(rng, b, h, w, mag=7.0)
+    flow = _smooth_flow(rng, b, h, w, mag=3.0)
     want = _warp_xla(img, flow, "zeros")
     got = warp_tiled(img, flow)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -61,18 +63,42 @@ def test_tiled_out_of_bounds_zeros(rng):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_backward_warp_auto_routes_tiled(rng):
+def test_backward_warp_impl_routing(rng):
+    """auto == gather (always exact); impl='tiled' routes the fast path."""
     img = jnp.asarray(rng.random((1, 16, 130, 3)), jnp.float32)
     flow = _smooth_flow(rng, 1, 16, 130, mag=2.0)
-    got = backward_warp(img, flow)  # auto -> tiled for zeros mode
-    want = warp_tiled(img, flow)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(   # same formulation; jit fusion noise only
+        np.asarray(backward_warp(img, flow)),
+        np.asarray(_warp_xla(img, flow, "zeros")), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(backward_warp(img, flow, impl="tiled")),
+        np.asarray(warp_tiled(img, flow)), rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError):
+        backward_warp(img, flow, padding_mode="border", impl="tiled")
+
+
+def test_tiled_overflow_is_graceful(rng):
+    """Step-discontinuity flow overflows the residual budget: the result
+    must stay finite, OOB regions exactly zero, and in-budget tiles exact."""
+    img = jnp.asarray(rng.random((1, 32, 128, 3)), jnp.float32)
+    flow = np.zeros((1, 32, 128, 2), np.float32)
+    flow[:, :, 64:, 0] = 40.0          # 40 px step at a "motion boundary"
+    flow[:, :16, :, 1] = -500.0        # fully OOB band
+    flow = jnp.asarray(flow)
+    out = np.asarray(warp_tiled(img, flow))
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out[:, :16], 0.0)
+    want = np.asarray(_warp_xla(img, flow, "zeros"))
+    # tiles fully inside either side of the step are in-budget -> exact
+    np.testing.assert_allclose(out[:, 16:, :48], want[:, 16:, :48],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out[:, 16:, 80:], want[:, 16:, 80:],
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_tiled_gradients_match_gather(rng):
     img = jnp.asarray(rng.random((1, 16, 128, 2)), jnp.float32)
-    flow = _smooth_flow(rng, 1, 16, 128, mag=3.0)
+    flow = _smooth_flow(rng, 1, 16, 128, mag=1.5)  # in-budget gradient
     cot = jnp.asarray(rng.random((1, 16, 128, 2)), jnp.float32)
 
     def loss_tiled(i, f):

@@ -1,0 +1,78 @@
+"""Micro-bench: warp implementations on the real chip at model shapes.
+
+Chained-scan methodology (same as bench.py): N dependent iterations inside
+one program, single scalar pulled at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_one(fn, img, flow, n=32, reps=3):
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(im, fl, n):
+        def body(carry, _):
+            im, fl = carry
+            out = fn(im, fl)
+            dep = jnp.mean(out).astype(im.dtype) * 1e-12
+            return (im + dep, fl), jnp.mean(out)
+        (_, _), means = jax.lax.scan(body, (im, fl), None, length=n)
+        return jnp.sum(means)
+
+    t0 = time.time()
+    s = float(chained(img, flow, n))
+    compile_s = time.time() - t0
+    assert np.isfinite(s), "non-finite output"
+    float(chained(img, flow, n))
+    t0 = time.time()
+    for _ in range(reps):
+        float(chained(img, flow, n))
+    per = (time.time() - t0) / reps / n * 1e3
+    return per, compile_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--impls", default="gather,tiled")
+    ap.add_argument("--shapes", default="2,540,960,3;2,135,240,64")
+    ap.add_argument("--n", type=int, default=32)
+    args = ap.parse_args()
+    if args.cpu and jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from video_super_resolution_tpu.ops.warp import backward_warp
+
+    rng = np.random.default_rng(0)
+    for shp in args.shapes.split(";"):
+        b, h, w, c = map(int, shp.split(","))
+        img = jnp.asarray(rng.random((b, h, w, c)), jnp.bfloat16)
+        flow = jnp.asarray(
+            rng.standard_normal((b, h, w, 2)) * 3.0, jnp.float32)
+        hbm_ms = (b * h * w * (c * 2 * 2 + 2 * 4)) / 819e9 * 1e3  # v5e ~819GB/s
+        for impl in args.impls.split(","):
+            fn = functools.partial(backward_warp, impl=impl)
+            per, cs = bench_one(fn, img, flow, n=args.n)
+            print(json.dumps({
+                "impl": impl, "shape": [b, h, w, c],
+                "ms": round(per, 3), "hbm_bound_ms": round(hbm_ms, 3),
+                "compile_s": round(cs, 1),
+                "device": str(jax.devices()[0]),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,10 +46,12 @@ def backward_warp(
       use_pallas: route to the Pallas TPU kernel.
       impl: "auto" | "tiled" | "gather". "tiled" is the TPU-fast
         shift-select formulation (ops/warp_tiled.py) — exact for smooth
-        flow, clamps pathological in-tile flow spread (> 8 px inside one
-        8x128 tile). "gather" is the per-pixel-exact XLA gather (slow on
-        TPU: the gather scalarizes). "auto" = tiled for zeros mode,
-        gather otherwise.
+        flow (zeros mode only), clamps pathological in-tile flow spread
+        (see its docstring for the exactness domain). "gather" is the
+        per-pixel-exact XLA gather for arbitrary flow (slow on TPU: the
+        gather scalarizes). "auto" = gather, the always-exact path; model
+        call sites opt into "tiled" where the flow is known-smooth and
+        the warp is hot.
 
     Returns:
       (B, H, W, C) warped image, dtype of ``img``.
@@ -63,7 +65,9 @@ def backward_warp(
         from video_super_resolution_tpu.ops.pallas.util import should_interpret
 
         return warp_pallas(img, flow, padding_mode, should_interpret())
-    if impl == "tiled" or (impl == "auto" and padding_mode == "zeros"):
+    if impl == "tiled":
+        if padding_mode != "zeros":
+            raise ValueError("impl='tiled' supports only zeros padding")
         from video_super_resolution_tpu.ops.warp_tiled import warp_tiled
 
         return warp_tiled(img, flow)

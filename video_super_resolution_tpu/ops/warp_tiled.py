@@ -8,11 +8,13 @@ that slow poisons both the flow pyramid and the final alignment warp.
 
 Formulation (no per-pixel gather anywhere):
 
-1. Tile the output into (TY=8, TX=128) register tiles. Per tile, take the
-   *integer base* of the flow: oy = min over the tile of (floor(sy) - y),
-   ox = min of (floor(sx) - x). Extract one input patch per tile of static
-   shape (TY+rd+2, TX+rd+2) at dynamic offset (oy, ox) — a lax.gather of
-   ~4k large slices (cheap; index-row count is what makes gathers slow).
+1. Tile the output into (TY, TX) tiles. Per tile, take the *integer base*
+   of the flow: oy = min over the tile's VALID samples of (floor(sy) - y),
+   ox likewise (validity below). Extract one input patch per tile of static
+   shape (TY+rd+2, TX+rd+2) at dynamic offset (oy, ox) — a batched
+   lax.dynamic_slice (cheap: gather cost scales with index-row count, and
+   there are only H*W/(TY*TX) tiles, each copying a large contiguous-ish
+   patch).
 2. Per pixel, the remaining index is the *residual* ry = floor(sy)-y-oy,
    rx = floor(sx)-x-ox ∈ [0, rd]. The 4-tap bilinear read becomes a sum of
    (rd+2)^2 statically-shifted patch slices weighted by separable one-hot
@@ -24,18 +26,33 @@ Formulation (no per-pixel gather anywhere):
    Static slices + elementwise FMAs — exactly the shape of the cost-volume
    op, which XLA fuses to VPU-resident loops.
 
+Validity (zeros padding semantics, and the reason the base must be a
+*masked* min): a sample whose unclamped source coordinate lies outside
+[-1, size] contributes exactly 0 in zeros mode. Its clamped coordinate
+would otherwise produce a wildly wrong integer offset (e.g. the
+replicate-padded tile margin beyond W, or flow pointing far off-image)
+that poisons the per-tile min and blows every *valid* pixel's residual
+budget. So per axis: dead samples (source beyond [-1, size], or grid
+positions in the internal tile padding) are excluded from the min and
+their blend weights are forced to 0. The zero-padded image then supplies
+exact zeros for the partial taps of borderline-valid samples, identical
+to the gather formulation.
+
 Exactness: identical to the gather formulation (zeros padding mode,
 align_corners=True pixel convention — ops/warp.py docstring) whenever the
-in-tile flow spread fits the residual budget: max-min of floor(sy)-y within
-an 8x128 tile <= rd (same for x). Smooth optical flow satisfies this easily
-(rd=8 tolerates |d flow/dx| up to 8/128 px/px of zoom/rotation gradient);
-pixels beyond the budget clamp to the nearest representable tap. The exact
-gather path stays available via backward_warp(impl="gather").
+in-tile integer-flow spread of valid samples fits the residual budget:
+max-min of floor(s)-p within a TY x TX tile <= rd per axis. With the
+default (8, 16) tile and rd=8 this tolerates flow gradients up to
+~1.0 px/px in y and ~0.5 px/px in x — beyond smooth optical flow; only step
+discontinuities at motion boundaries can overflow, and those pixels clamp
+to the nearest representable tap (graceful, local). The exact gather path
+stays available via backward_warp(impl="gather").
 
-Gradients: the one-hots are piecewise-constant (zero grad, like floor); wy,
-wx carry the same d out/d flow as grid_sample; patches are extracted by
-gather whose transpose is a cheap large-slice scatter-add. Plain autodiff
-therefore reproduces grid_sample's gradient without a custom VJP.
+Gradients: the one-hots and masks are piecewise-constant (zero grad, like
+floor); wy, wx carry the same d out/d flow as grid_sample; patches are
+extracted by dynamic_slice whose transpose is a cheap large-slice
+scatter-add. Plain autodiff therefore reproduces grid_sample's gradient
+without a custom VJP.
 """
 
 from __future__ import annotations
@@ -52,13 +69,13 @@ def _ceil_to(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("rd", "ty", "tx"))
 def warp_tiled(img: jax.Array, flow: jax.Array, rd: int = 8,
-               ty: int = 8, tx: int = 128) -> jax.Array:
+               ty: int = 8, tx: int = 16) -> jax.Array:
     """Bilinear backward warp, zeros padding mode: out(x) = img(x+flow(x)).
 
     Args:
       img: (B, H, W, C); flow: (B, H, W, 2) pixel displacements (dx, dy).
       rd: residual budget — exact while in-tile integer-flow spread <= rd.
-      ty, tx: output tile (sublane x lane register tile).
+      ty, tx: output tile shape.
 
     Returns (B, H, W, C) in img.dtype, f32 accumulation inside.
     """
@@ -66,36 +83,58 @@ def warp_tiled(img: jax.Array, flow: jax.Array, rd: int = 8,
     hp, wp = _ceil_to(h, ty), _ceil_to(w, tx)
     ny, nx = hp // ty, wp // tx
 
-    # Pad the grid; flow replicate-padded so edge tiles keep a coherent base.
+    # Pad the grid; flow replicate-padded so edge tiles keep coherent values
+    # (the padded samples are masked dead below, so their values only need
+    # to be finite).
     if (hp, wp) != (h, w):
         flow = jnp.pad(flow, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
                        mode="edge")
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
-    # Clamp source coords to [-1, size]: in zeros mode everything at or
-    # beyond that range contributes exactly 0 through zero-padded taps, and
-    # the clamp keeps every patch window in (padded-)bounds.
-    sx = jnp.clip(xs[None] + flow[..., 0].astype(jnp.float32), -1.0, float(w))
-    sy = jnp.clip(ys[None] + flow[..., 1].astype(jnp.float32), -1.0, float(h))
+    sx_raw = xs[None] + flow[..., 0].astype(jnp.float32)
+    sy_raw = ys[None] + flow[..., 1].astype(jnp.float32)
+
+    # Per-axis liveness: a sample is dead on an axis if its source lies at
+    # or beyond the zero-contribution range [-1, size], or if it sits in
+    # the internal tile padding (cropped at the end). Dead samples are
+    # excluded from the base min and contribute 0.
+    alive_x = (sx_raw >= -1.0) & (sx_raw <= float(w)) & (xs[None] < w)
+    alive_y = (sy_raw >= -1.0) & (sy_raw <= float(h)) & (ys[None] < h)
+
+    # Clamp source coords to [-1, size]: everything at or beyond that range
+    # contributes exactly 0 through zero-padded taps, and the clamp keeps
+    # every patch window in (padded-)bounds.
+    sx = jnp.clip(sx_raw, -1.0, float(w))
+    sy = jnp.clip(sy_raw, -1.0, float(h))
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
-    wx = (sx - x0).reshape(b, ny, ty, nx, tx).transpose(0, 1, 3, 2, 4)
-    wy = (sy - y0).reshape(b, ny, ty, nx, tx).transpose(0, 1, 3, 2, 4)
+
+    def tile(a):  # (B, hp, wp) -> (B, ny, nx, ty, tx)
+        return a.reshape(b, ny, ty, nx, tx).transpose(0, 1, 3, 2, 4)
+
+    wx = tile(sx - x0)
+    wy = tile(sy - y0)
+    alive = tile((alive_x & alive_y).astype(jnp.float32))
 
     # Integer flow offsets (tap index minus output index), tiled.
-    fy = (y0 - ys[None]).astype(jnp.int32)
-    fx = (x0 - xs[None]).astype(jnp.int32)
-    fy = fy.reshape(b, ny, ty, nx, tx).transpose(0, 1, 3, 2, 4)  # (B,ny,nx,ty,tx)
-    fx = fx.reshape(b, ny, ty, nx, tx).transpose(0, 1, 3, 2, 4)
-    oy = jax.lax.stop_gradient(jnp.min(fy, axis=(3, 4)))          # (B,ny,nx)
-    ox = jax.lax.stop_gradient(jnp.min(fx, axis=(3, 4)))
+    fy = tile((y0 - ys[None]).astype(jnp.int32))
+    fx = tile((x0 - xs[None]).astype(jnp.int32))
+
+    # Masked per-tile base: min over valid samples only. All-dead tiles
+    # fall back to base size (any in-range value; their output is 0).
+    big = jnp.int32(1 << 20)
+    ax = tile(alive_x.astype(jnp.int32)) > 0
+    ay = tile(alive_y.astype(jnp.int32)) > 0
+    oy = jnp.min(jnp.where(ay, fy, big), axis=(3, 4))            # (B,ny,nx)
+    ox = jnp.min(jnp.where(ax, fx, big), axis=(3, 4))
+    oy = jax.lax.stop_gradient(jnp.minimum(oy, h))
+    ox = jax.lax.stop_gradient(jnp.minimum(ox, w))
     ry = jnp.clip(fy - oy[..., None, None], 0, rd)
     rx = jnp.clip(fx - ox[..., None, None], 0, rd)
 
-    # Zero-pad the image so every patch window is in range:
-    # absolute patch rows span [oy + tile_y0, oy + tile_y0 + KP) with
-    # oy in [-1-(ty-1)-?, h]... conservative pads of (ty+rd+2 | tx+rd+2).
+    # Zero-pad the image so every patch window is in range (zeros padding
+    # also supplies the exact 0 taps of borderline-valid samples).
     kp, sp = ty + rd + 2, tx + rd + 2
     py, px = ty + rd + 2, tx + rd + 2
     imgp = jnp.pad(img, ((0, 0), (py, py), (px, px), (0, 0)))
@@ -125,7 +164,7 @@ def warp_tiled(img: jax.Array, flow: jax.Array, rd: int = 8,
                 patches, (0, 0, 0, k, u, 0),
                 (b, ny, nx, k + ty, u + tx, c),
             )
-            term = vx[..., None] * sl
+            term = (vx * alive)[..., None] * sl
             row = term if row is None else row + term
         acc = acc + vy[..., None] * row
 
