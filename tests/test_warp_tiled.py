@@ -15,7 +15,12 @@ import numpy as np
 import pytest
 
 from video_super_resolution_tpu.ops.warp import _warp_xla, backward_warp
-from video_super_resolution_tpu.ops.warp_tiled import warp_tiled
+from video_super_resolution_tpu.ops.warp_planar import warp_planar
+from video_super_resolution_tpu.ops.warp_tiled import warp_tiled as _warp_tiled
+
+# Both shift-select variants share one contract; run every case on both.
+pytestmark = pytest.mark.parametrize(
+    "warp_tiled", [_warp_tiled, warp_planar], ids=["tiled", "planar"])
 
 
 def _smooth_flow(rng, b, h, w, mag, coarse=4):
@@ -25,7 +30,7 @@ def _smooth_flow(rng, b, h, w, mag, coarse=4):
 
 
 @pytest.mark.parametrize("shape", [(2, 32, 128, 4), (1, 40, 200, 3)])
-def test_tiled_matches_gather_smooth(rng, shape):
+def test_tiled_matches_gather_smooth(rng, shape, warp_tiled):
     # mag=3 over a 4x4 coarse grid keeps the flow gradient within the
     # tiled path's documented exactness domain (~1 px/px in y, 0.5 in x).
     b, h, w, c = shape
@@ -37,7 +42,7 @@ def test_tiled_matches_gather_smooth(rng, shape):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_tiled_large_uniform_displacement(rng):
+def test_tiled_large_uniform_displacement(rng, warp_tiled):
     """Global shifts of tens of px are absorbed by per-tile bases exactly."""
     img = jnp.asarray(rng.random((1, 48, 160, 2)), jnp.float32)
     flow = jnp.tile(jnp.asarray([23.4, -17.8], jnp.float32), (1, 48, 160, 1))
@@ -47,7 +52,7 @@ def test_tiled_large_uniform_displacement(rng):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_tiled_out_of_bounds_zeros(rng):
+def test_tiled_out_of_bounds_zeros(rng, warp_tiled):
     """Flow pointing far outside must produce exact zeros; partial taps at
     the border must match torch-style zeros semantics (via gather path)."""
     img = jnp.asarray(rng.random((1, 16, 128, 3)), jnp.float32)
@@ -63,7 +68,7 @@ def test_tiled_out_of_bounds_zeros(rng):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_backward_warp_impl_routing(rng):
+def test_backward_warp_impl_routing(rng, warp_tiled):
     """auto == gather (always exact); impl='tiled' routes the fast path."""
     img = jnp.asarray(rng.random((1, 16, 130, 3)), jnp.float32)
     flow = _smooth_flow(rng, 1, 16, 130, mag=2.0)
@@ -77,7 +82,7 @@ def test_backward_warp_impl_routing(rng):
         backward_warp(img, flow, padding_mode="border", impl="tiled")
 
 
-def test_tiled_overflow_is_graceful(rng):
+def test_tiled_overflow_is_graceful(rng, warp_tiled):
     """Step-discontinuity flow overflows the residual budget: the result
     must stay finite, OOB regions exactly zero, and in-budget tiles exact."""
     img = jnp.asarray(rng.random((1, 32, 128, 3)), jnp.float32)
@@ -96,7 +101,7 @@ def test_tiled_overflow_is_graceful(rng):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_tiled_gradients_match_gather(rng):
+def test_tiled_gradients_match_gather(rng, warp_tiled):
     img = jnp.asarray(rng.random((1, 16, 128, 2)), jnp.float32)
     flow = _smooth_flow(rng, 1, 16, 128, mag=1.5)  # in-budget gradient
     cot = jnp.asarray(rng.random((1, 16, 128, 2)), jnp.float32)
@@ -115,7 +120,7 @@ def test_tiled_gradients_match_gather(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_tiled_bf16_dtype(rng):
+def test_tiled_bf16_dtype(rng, warp_tiled):
     img = jnp.asarray(rng.random((1, 16, 128, 4)), jnp.bfloat16)
     flow = _smooth_flow(rng, 1, 16, 128, mag=2.0)
     out = warp_tiled(img, flow)
