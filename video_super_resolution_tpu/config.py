@@ -29,6 +29,10 @@ class ModelConfig:
     pyramid_levels: int = 5             # strided-conv pyramid depth
     pyramid_channels: Tuple[int, ...] = (16, 32, 64, 96, 128)
     max_displacement: int = 4           # cost volume radius d -> (2d+1)^2=81 ch
+    # finest pyramid level that runs a flow estimator. Level 0 is 1/2 input
+    # resolution; 1 is 1/4 (the PWC-Net convention: estimate at 1/4, upsample
+    # to full). 1 halves flow-net cost vs 0 with the standard quality profile.
+    flow_finest_level: int = 1
     flow_estimator_channels: Tuple[int, ...] = (128, 128, 96, 64, 32)
     context_channels: Tuple[int, ...] = (128, 128, 128, 96, 64, 32)
     # --- depth branch ---
@@ -50,6 +54,11 @@ class ModelConfig:
     # run the depth hourglass on 1/2-res frames and upsample its output x2:
     # depth is a smooth fusion guide; halves the second-biggest conv cost
     depth_at_half_res: bool = True
+    # backward-warp implementation at model call sites: "tiled" is the
+    # TPU-fast shift-select warp (exact for smooth flow — ops/warp_tiled.py
+    # docstring gives the exactness domain); "gather" is the per-pixel-exact
+    # XLA gather (slow on TPU: the gather scalarizes).
+    warp_impl: str = "tiled"
 
     @property
     def num_neighbors(self) -> int:

@@ -12,8 +12,9 @@ Per level:
 
 with a DenseNet-style estimator (each conv's input concats all previous
 outputs) and a dilated-conv context network refining the finest-level flow.
-Flow is estimated down to the 1/2-resolution pyramid level and upsampled x2
-to full resolution at the end (scaled accordingly).
+Flow is estimated down to pyramid level ``finest_level`` (default 1 = 1/4
+input resolution, the PWC-Net convention) and upsampled to full resolution
+at the end (scaled accordingly).
 """
 
 from __future__ import annotations
@@ -82,6 +83,10 @@ class FlowNet(nn.Module):
     slope: float = 0.1
     use_pallas: bool = False
     dtype: Any = jnp.float32
+    # finest level that runs an estimator (0 = 1/2 res, 1 = 1/4 res — the
+    # PWC-Net convention estimates at 1/4 and upsamples to full).
+    finest_level: int = 1
+    warp_impl: str = "tiled"
 
     @nn.compact
     def __call__(self, ref: jax.Array, nbr: jax.Array) -> jax.Array:
@@ -95,7 +100,8 @@ class FlowNet(nn.Module):
 
         flow = None
         feat = None
-        for l in reversed(range(levels)):  # coarsest -> finest (level 0 = 1/2 res)
+        finest = min(self.finest_level, levels - 1)
+        for l in reversed(range(finest, levels)):  # coarsest -> finest estimated
             fr, fn = pyr_r[l], pyr_n[l]
             b, h, w, _ = fr.shape
             if flow is None:
@@ -103,7 +109,8 @@ class FlowNet(nn.Module):
                 warped = fn
             else:
                 flow_up = 2.0 * resize_bilinear(flow, h, w)
-                warped = backward_warp(fn, flow_up, use_pallas=self.use_pallas)
+                warped = backward_warp(fn, flow_up, use_pallas=self.use_pallas,
+                                       impl=self.warp_impl)
             cv = lrelu(
                 correlation(fr, warped, self.max_displacement,
                             use_pallas=self.use_pallas),
@@ -122,6 +129,8 @@ class FlowNet(nn.Module):
             self.context_channels, slope=self.slope, dtype=self.dtype
         )(feat, flow)
 
-        # level 0 is 1/2 resolution: upsample x2 to full res, scale pixels.
+        # level `finest` is 1/2^(finest+1) resolution: upsample to full res
+        # and scale the pixel displacements accordingly.
         full_h, full_w = ref.shape[1], ref.shape[2]
-        return 2.0 * resize_bilinear(flow, full_h, full_w)
+        scale = float(2 ** (finest + 1))
+        return scale * resize_bilinear(flow, full_h, full_w)

@@ -62,6 +62,8 @@ class VSRModel(nn.Module):
             slope=cfg.lrelu_slope,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
+            finest_level=cfg.flow_finest_level,
+            warp_impl=cfg.warp_impl,
             name="flow_net",
         )(ref_rep, nbrs_flat)                                          # (B*N,H,W,2)
 
@@ -98,7 +100,8 @@ class VSRModel(nn.Module):
             fd = jnp.concatenate(
                 [nbr_feats, nbr_depths.astype(nbr_feats.dtype)], axis=-1
             ).reshape(b * n, h, w, cfg.fusion_channels + 1)
-            warped = backward_warp(fd, flows, use_pallas=self.use_pallas)
+            warped = backward_warp(fd, flows, use_pallas=self.use_pallas,
+                                   impl=cfg.warp_impl)
             warped = warped.reshape(b, n, h, w, cfg.fusion_channels + 1)
             warped_feats = warped[..., : cfg.fusion_channels]
             warped_depths = warped[..., cfg.fusion_channels:]
@@ -111,7 +114,8 @@ class VSRModel(nn.Module):
                  .reshape(b * n, h, w, 1).astype(nbrs_flat.dtype)],
                 axis=-1,
             )
-            warped = backward_warp(fd, flows, use_pallas=self.use_pallas)
+            warped = backward_warp(fd, flows, use_pallas=self.use_pallas,
+                                   impl=cfg.warp_impl)
             warped_frames = warped[..., :3]
             warped_depths = warped[..., 3:].reshape(b, n, h, w, 1)
             enc_in = jnp.concatenate([ref, warped_frames.astype(ref.dtype)], 0)

@@ -46,14 +46,17 @@ def _corr_kernel(f1_ref, f2p_ref, out_ref, *, d, th, strip, w, wp, c, inv_c):
     f1 = f1_ref[0].astype(jnp.float32)                    # (C, TH, Wp)
     base = pl.multiple_of(i * th, th)
     # One aligned ref read per program (start/length multiples of the 8-row
-    # sublane tile); per-dy row windows are static slices of the VALUE.
+    # sublane tile); per-displacement windows are static slices of the VALUE.
     rows_all = f2p_ref[0, :, pl.ds(base, strip), :].astype(jnp.float32)
-    outs = []
-    for dy in range(2 * d + 1):
-        rows = jax.lax.slice_in_dim(rows_all, dy, dy + th, axis=1)
-        for dx in range(2 * d + 1):
-            win = jax.lax.slice_in_dim(rows, dx, dx + wp, axis=2)
-            outs.append(jnp.sum(f1 * win, axis=0) * inv_c)  # (TH, Wp)
+    # Lane shifts (dx) force a vector relayout; sublane shifts (dy) are cheap.
+    # Hoist dx to the outer loop: 2d+1 lane relayouts instead of (2d+1)^2.
+    nd = 2 * d + 1
+    outs = [None] * (nd * nd)
+    for dx in range(nd):
+        cols = jax.lax.slice_in_dim(rows_all, dx, dx + wp, axis=2)
+        for dy in range(nd):
+            win = jax.lax.slice_in_dim(cols, dy, dy + th, axis=1)
+            outs[dy * nd + dx] = jnp.sum(f1 * win, axis=0) * inv_c  # (TH, Wp)
     out_ref[0] = jnp.stack(outs, axis=0)                  # (K, TH, Wp)
 
 

@@ -154,19 +154,24 @@ def warp_tiled(img: jax.Array, flow: jax.Array, rd: int = 8,
     patches = patches.astype(jnp.float32)
 
     one = jnp.float32(1)
+    # Precompute the separable blend vectors ONCE (vx does not depend on k,
+    # vy not on u); fold the validity mask into vy. Inside the loop only the
+    # slice + two FMAs remain — (rd+2)^2 of them, each over a (ty,tx,c) tile.
+    vxs = [((one - wx) * (rx == u) + wx * (rx == (u - 1)))[..., None]
+           for u in range(rd + 2)]
+    vys = [((one - wy) * (ry == k) + wy * (ry == (k - 1)))
+           * alive for k in range(rd + 2)]
     acc = jnp.zeros((b, ny, nx, ty, tx, c), jnp.float32)
     for k in range(rd + 2):
-        vy = (one - wy) * (ry == k) + wy * (ry == (k - 1))
         row = None
         for u in range(rd + 2):
-            vx = (one - wx) * (rx == u) + wx * (rx == (u - 1))
             sl = jax.lax.slice(
                 patches, (0, 0, 0, k, u, 0),
                 (b, ny, nx, k + ty, u + tx, c),
             )
-            term = (vx * alive)[..., None] * sl
+            term = vxs[u] * sl
             row = term if row is None else row + term
-        acc = acc + vy[..., None] * row
+        acc = acc + vys[k][..., None] * row
 
     out = acc.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
     return out[:, :h, :w].astype(img.dtype)
