@@ -55,14 +55,24 @@ class SRHead(nn.Module):
         h = h + trunk_in                                  # global trunk skip
 
         b, hh, ww, _ = ref_frame.shape
-        skip = resize_bilinear(
-            ref_frame.astype(jnp.float32), hh * self.scale, ww * self.scale
-        )
         if self.style == "espcn":
+            from video_super_resolution_tpu.ops.resize import upsample_bilinear_ps
+
             out = nn.Conv(3 * self.scale**2, (3, 3), padding="SAME",
                           dtype=jnp.float32, param_dtype=jnp.float32,
                           name="subpixel_conv")(h.astype(jnp.float32))
-            return pixel_shuffle(out, self.scale) + skip
+            # bilinear skip in pre-shuffle form: add before the single
+            # depth-to-space (commutes exactly with pixel_shuffle; avoids a
+            # second 4K-sized interleave + 100 MB add at full res). Channel
+            # order (c, py, px) matches pixel_shuffle's (c*r^2 + py*r + px),
+            # but the conv output is ordered the same way by construction.
+            skip_ps = upsample_bilinear_ps(
+                ref_frame.astype(jnp.float32), self.scale
+            )
+            return pixel_shuffle(out + skip_ps, self.scale)
+        skip = resize_bilinear(
+            ref_frame.astype(jnp.float32), hh * self.scale, ww * self.scale
+        )
 
         # Upsample stages own their params directly so the Pallas fused
         # conv->depth-to-space->lrelu epilogue and the XLA path share one

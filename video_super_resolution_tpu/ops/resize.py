@@ -78,6 +78,47 @@ def _resample_weights(in_size: int, out_size: int, kernel: str, a: float,
     return jnp.asarray(idx), jnp.asarray(w.astype(np.float32))
 
 
+def upsample_bilinear_ps(x: jax.Array, r: int) -> jax.Array:
+    """Integer-factor bilinear x`r` upsample of NHWC, PRE-SHUFFLE form.
+
+    Returns (B, H, W, C*r^2) with torch pixel-shuffle channel order
+    (c*r^2 + py*r + px); ``pixel_shuffle(result, r)`` equals
+    ``resize_bilinear(x, H*r, W*r)`` bit-for-bit (same blend order as the
+    separable two-pass). Why: the two-pass axis interleave materializes
+    phase stacks at FULL output resolution (~1 GB of relayout traffic for a
+    540p->4K x4 skip, measured 4.4 ms on v5e); this form computes all r^2
+    phase blends at LOW resolution — XLA fuses them into one pass over the
+    input — and defers the interleave to a single depth-to-space (which the
+    SR head can further fold into its own subpixel shuffle for free).
+    """
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    xp = xp.astype(jnp.float32)
+
+    def taps(p: int):
+        center = (p + 0.5) / r - 0.5
+        lo = math.floor(center)
+        return lo, center - lo
+
+    phases = []
+    for py in range(r):
+        ly, fy = taps(py)
+        # keep the W padding through the H blend; slice W per phase below
+        top = jax.lax.slice(xp, (0, ly + 1, 0, 0), (b, ly + 1 + h, w + 2, c))
+        bot = jax.lax.slice(xp, (0, ly + 2, 0, 0), (b, ly + 2 + h, w + 2, c))
+        # identical blend order to the separable two-pass (H then W)
+        hrow = top * (1.0 - fy) + bot * fy if fy else top
+        for px in range(r):
+            lx, fx = taps(px)
+            left = jax.lax.slice(hrow, (0, 0, lx + 1, 0),
+                                 (b, h, lx + 1 + w, c))
+            right = jax.lax.slice(hrow, (0, 0, lx + 2, 0),
+                                  (b, h, lx + 2 + w, c))
+            phases.append(left * (1.0 - fx) + right * fx if fx else left)
+    st = jnp.stack(phases, axis=-1)              # (B,H,W,C,r^2) order (py,px)
+    return st.reshape(b, h, w, c * r * r)
+
+
 def _upsample_axis_int_linear(x: jax.Array, axis: int, r: int) -> jax.Array:
     """Integer-factor bilinear upsample along one axis, gather-free.
 
@@ -174,6 +215,16 @@ def resize_bilinear(x: jax.Array, out_h: int, out_w: int,
     dtype = x.dtype
     h_ax = x.ndim - 3 if x.ndim >= 3 else 0
     w_ax = h_ax + 1
+    if (
+        x.ndim == 4 and not antialias and not align_corners
+        and edge == "replicate" and out_h % x.shape[1] == 0
+        and out_w % x.shape[2] == 0 and out_h // x.shape[1] > 1
+        and out_h // x.shape[1] == out_w // x.shape[2]
+    ):
+        from video_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
+
+        r = out_h // x.shape[1]
+        return pixel_shuffle(upsample_bilinear_ps(x, r), r).astype(dtype)
     y = _resample_axis(x, h_ax, out_h, "linear", 0.0, antialias, align_corners, edge)
     y = _resample_axis(y, w_ax, out_w, "linear", 0.0, antialias, align_corners, edge)
     return y.astype(dtype)
