@@ -72,11 +72,20 @@ def bench_train(args, cfg, state):
     s = float(chained(state.params, state.opt_state, n))
     compile_s = time.time() - t0
     assert np.isfinite(s)
+    # Measure the fixed host-visible-result round trip (axon tunnel) and
+    # subtract it — same methodology as the inference path, no magic numbers.
+    trivial = jax.jit(lambda x: jnp.sum(x) * 0 + 1.0)
+    z = jnp.zeros((8, 128), jnp.float32)
+    float(trivial(z))
+    t0 = time.time()
+    for _ in range(5):
+        float(trivial(z))
+    pull_s = (time.time() - t0) / 5
     reps = 2
     t0 = time.time()
     for _ in range(reps):
         float(chained(state.params, state.opt_state, n))
-    elapsed = (time.time() - t0) / reps - 0.025
+    elapsed = (time.time() - t0) / reps - pull_s
     sps = n / max(elapsed, 1e-9)
     print(json.dumps({
         "metric": f"train_steps_per_sec_b{b}_crop{crop}",

@@ -9,18 +9,22 @@ budget — which covers every smooth flow the model produces. Cases:
 - gradients w.r.t. img and flow match the gather path
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from video_super_resolution_tpu.ops.pallas.warp_shift_tpu import warp_shift_pallas
 from video_super_resolution_tpu.ops.warp import _warp_xla, backward_warp
-from video_super_resolution_tpu.ops.warp_planar import warp_planar
 from video_super_resolution_tpu.ops.warp_tiled import warp_tiled as _warp_tiled
 
-# Both shift-select variants share one contract; run every case on both.
+# The XLA shift-select and the Pallas kernel (interpret mode here) share one
+# contract; run every case on both.
+_warp_pallas = functools.partial(warp_shift_pallas, interpret=True)
 pytestmark = pytest.mark.parametrize(
-    "warp_tiled", [_warp_tiled, warp_planar], ids=["tiled", "planar"])
+    "warp_tiled", [_warp_tiled, _warp_pallas], ids=["tiled", "pallas"])
 
 
 def _smooth_flow(rng, b, h, w, mag, coarse=4):

@@ -21,13 +21,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_PULL_S = None
+
+
+def _pull():
+    """Fixed host-visible result cost (axon tunnel round trip), measured."""
+    global _PULL_S
+    if _PULL_S is None:
+        trivial = jax.jit(lambda x: jnp.sum(x) * 0 + 1.0)
+        z = jnp.zeros((8, 128), jnp.float32)
+        float(trivial(z))
+        t0 = time.time()
+        for _ in range(10):
+            float(trivial(z))
+        _PULL_S = (time.time() - t0) / 10
+    return _PULL_S
+
+
 def bench_one(fn, img, flow, n=32, reps=3):
     @functools.partial(jax.jit, static_argnames=("n",))
     def chained(im, fl, n):
         def body(carry, _):
             im, fl = carry
             out = fn(im, fl)
-            dep = jnp.mean(out).astype(im.dtype) * 1e-12
+            dep = jnp.mean(out).astype(im.dtype) * 1e-20
             return (im + dep, fl), jnp.mean(out)
         (_, _), means = jax.lax.scan(body, (im, fl), None, length=n)
         return jnp.sum(means)
@@ -40,15 +57,15 @@ def bench_one(fn, img, flow, n=32, reps=3):
     t0 = time.time()
     for _ in range(reps):
         float(chained(img, flow, n))
-    per = (time.time() - t0) / reps / n * 1e3
+    per = ((time.time() - t0) / reps - _pull()) / n * 1e3
     return per, compile_s
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--impls", default="gather,tiled")
-    ap.add_argument("--shapes", default="2,540,960,3;2,135,240,64")
+    ap.add_argument("--impls", default="tiled,pallas")
+    ap.add_argument("--shapes", default="2,544,960,4;2,136,240,32")
     ap.add_argument("--n", type=int, default=32)
     args = ap.parse_args()
     if args.cpu and jax.config.jax_platforms != "cpu":
@@ -59,9 +76,12 @@ def main():
     rng = np.random.default_rng(0)
     for shp in args.shapes.split(";"):
         b, h, w, c = map(int, shp.split(","))
-        img = jnp.asarray(rng.random((b, h, w, c)), jnp.bfloat16)
-        flow = jnp.asarray(
-            rng.standard_normal((b, h, w, 2)) * 3.0, jnp.float32)
+        # f32 frames + smooth flow: the model's hot call is the f32
+        # frame+depth warp with a 1/4-res-upsampled (smooth) flow field.
+        img = jnp.asarray(rng.random((b, h, w, c)), jnp.float32)
+        coarse = jnp.asarray(rng.standard_normal((b, 9, 15, 2)) * 6.0,
+                             jnp.float32)
+        flow = jax.image.resize(coarse, (b, h, w, 2), "linear")
         hbm_ms = (b * h * w * (c * 2 * 2 + 2 * 4)) / 819e9 * 1e3  # v5e ~819GB/s
         for impl in args.impls.split(","):
             fn = functools.partial(backward_warp, impl=impl)

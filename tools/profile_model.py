@@ -93,16 +93,27 @@ def main():
     depthn = jnp.asarray(rng.random((1, n_nbr, h, w, 1)), jnp.float32)
     frames4 = jnp.asarray(rng.random((n_nbr, h, w, 4)), jnp.float32)
 
+    # Every host-visible float() costs a fixed tunnel round trip (~25-30 ms
+    # on axon). Measure it once and subtract per rep — without this, every
+    # stage is overstated by pull/n ms (which buried the real ratios in r1).
+    trivial = jax.jit(lambda x: jnp.sum(x) * 0 + 1.0)
+    zpull = jnp.zeros((8, 128), jnp.float32)
+    float(trivial(zpull))
+    t0 = time.time()
+    for _ in range(10):
+        float(trivial(zpull))
+    pull_s = (time.time() - t0) / 10
+
     def timed(name, fn, *xs):
         """Chain fn n times with a scalar dep; report per-iteration ms."""
 
         @functools.partial(jax.jit, static_argnames=())
         def chained(*xs):
             def body(c, _):
-                out = fn(*[x + c * 0 if x.dtype.kind == "f" else x
+                out = fn(*[x + c.astype(x.dtype) if x.dtype.kind == "f" else x
                            for x in xs])
                 leaf = out[0] if isinstance(out, (tuple, list)) else out
-                return jnp.mean(leaf).astype(jnp.float32) * 1e-12, \
+                return jnp.mean(leaf).astype(jnp.float32) * 1e-20, \
                     jnp.mean(leaf).astype(jnp.float32)
             _, means = jax.lax.scan(body, jnp.float32(0), None, length=args.n)
             return jnp.sum(means)
@@ -116,7 +127,7 @@ def main():
         t0 = time.time()
         for _ in range(reps):
             float(chained(*xs))
-        per_ms = (time.time() - t0) / reps / args.n * 1000
+        per_ms = ((time.time() - t0) / reps - pull_s) / args.n * 1000
         print(json.dumps({"stage": name, "ms": round(per_ms, 3),
                           "compile_s": round(compile_s, 1)}), flush=True)
         return per_ms

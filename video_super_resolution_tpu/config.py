@@ -54,11 +54,13 @@ class ModelConfig:
     # run the depth hourglass on 1/2-res frames and upsample its output x2:
     # depth is a smooth fusion guide; halves the second-biggest conv cost
     depth_at_half_res: bool = True
-    # backward-warp implementation at model call sites: "tiled" is the
-    # TPU-fast shift-select warp (exact for smooth flow — ops/warp_tiled.py
-    # docstring gives the exactness domain); "gather" is the per-pixel-exact
-    # XLA gather (slow on TPU: the gather scalarizes).
-    warp_impl: str = "tiled"
+    # backward-warp implementation at model call sites: "pallas" is the
+    # hand-written shift-select TPU kernel (ops/pallas/warp_shift_tpu.py;
+    # exact for smooth flow — docstring gives the exactness domain; C>8 and
+    # small shapes fall back to "tiled" automatically); "tiled" is the
+    # pure-XLA shift-select; "gather" is the per-pixel-exact XLA gather
+    # (slow on TPU: the gather scalarizes).
+    warp_impl: str = "pallas"
 
     @property
     def num_neighbors(self) -> int:

@@ -39,8 +39,11 @@ class SRHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, fused: jax.Array, ref_frame: jax.Array) -> jax.Array:
-        """fused (B,H,W,F), ref_frame (B,H,W,3) -> (B, H*scale, W*scale, 3)."""
+    def __call__(self, fused: jax.Array, ref_frame: jax.Array,
+                 stop_stage: str = "") -> jax.Array:
+        """fused (B,H,W,F), ref_frame (B,H,W,3) -> (B, H*scale, W*scale, 3).
+
+        stop_stage: profiling hook ("sr_trunk" | "sr_conv" | "sr_skip")."""
         if self.scale not in (2, 4):
             raise ValueError("scale must be 2 or 4")
         dt = self.dtype
@@ -53,6 +56,8 @@ class SRHead(nn.Module):
         h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=dt,
                     param_dtype=jnp.float32)(h)
         h = h + trunk_in                                  # global trunk skip
+        if stop_stage == "sr_trunk":
+            return h
 
         b, hh, ww, _ = ref_frame.shape
         if self.style == "espcn":
@@ -61,6 +66,8 @@ class SRHead(nn.Module):
             out = nn.Conv(3 * self.scale**2, (3, 3), padding="SAME",
                           dtype=jnp.float32, param_dtype=jnp.float32,
                           name="subpixel_conv")(h.astype(jnp.float32))
+            if stop_stage == "sr_conv":
+                return out
             # bilinear skip in pre-shuffle form: add before the single
             # depth-to-space (commutes exactly with pixel_shuffle; avoids a
             # second 4K-sized interleave + 100 MB add at full res). Channel
@@ -69,6 +76,8 @@ class SRHead(nn.Module):
             skip_ps = upsample_bilinear_ps(
                 ref_frame.astype(jnp.float32), self.scale
             )
+            if stop_stage == "sr_skip":
+                return out + skip_ps
             return pixel_shuffle(out + skip_ps, self.scale)
         skip = resize_bilinear(
             ref_frame.astype(jnp.float32), hh * self.scale, ww * self.scale

@@ -35,8 +35,16 @@ class VSRModel(nn.Module):
 
     @nn.compact
     def __call__(
-        self, window: jax.Array, return_aux: bool = False
+        self,
+        window: jax.Array,
+        return_aux: bool = False,
+        stop_stage: str = "",
     ) -> Union[jax.Array, Dict[str, jax.Array]]:
+        """stop_stage: "" (full forward) or one of "flow" | "depth" | "warp"
+        | "encode" | "fusion" — return that stage's output instead of HR.
+        Profiling hook (tools/profile_prefix.py): timing each prefix of the
+        REAL composed program localizes cost that per-module timing misses
+        (fusion decisions differ inside the full program)."""
         cfg = self.cfg
         b, t, h0, w0, _ = window.shape
         center = t // 2
@@ -66,6 +74,8 @@ class VSRModel(nn.Module):
             warp_impl=cfg.warp_impl,
             name="flow_net",
         )(ref_rep, nbrs_flat)                                          # (B*N,H,W,2)
+        if stop_stage == "flow":
+            return flows
 
         # ---- depth for all T frames in one batched program ----
         frames_flat = window.reshape(b * t, h, w, 3)
@@ -83,6 +93,9 @@ class VSRModel(nn.Module):
             depths = depth_net(frames_flat).reshape(b, t, h, w, 1)
         ref_depth = depths[:, center]
         nbr_depths = jnp.stack([depths[:, i] for i in nbr_idx], 1)
+        if stop_stage == "depth":
+            # tiny (unfoldable) term keeps the flow stage live in the prefix
+            return ref_depth + jnp.float32(1e-20) * jnp.mean(flows)
 
         def encode(frames):  # shared frame encoder, any folded batch
             e = ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
@@ -116,17 +129,25 @@ class VSRModel(nn.Module):
             )
             warped = backward_warp(fd, flows, use_pallas=self.use_pallas,
                                    impl=cfg.warp_impl)
+            if stop_stage == "warp":
+                return warped
             warped_frames = warped[..., :3]
             warped_depths = warped[..., 3:].reshape(b, n, h, w, 1)
             enc_in = jnp.concatenate([ref, warped_frames.astype(ref.dtype)], 0)
             enc = encode(enc_in)
             ref_feat = enc[:b]
             warped_feats = enc[b:].reshape(b, n, h, w, cfg.fusion_channels)
+        if stop_stage == "encode":
+            return ref_feat + jnp.float32(1e-20).astype(ref_feat.dtype) * (
+                jnp.mean(warped_feats) + jnp.mean(warped_depths)
+            ).astype(ref_feat.dtype)
 
         fused = DepthGuidedFusion(
             features=cfg.fusion_channels, slope=cfg.lrelu_slope,
             dtype=self.dtype, use_pallas=self.use_pallas, name="fusion",
         )(ref_feat, warped_feats, ref_depth, warped_depths)
+        if stop_stage == "fusion":
+            return fused
 
         # crop padding off before the SR head so HR output is exactly 4x input
         fused = crop_to(fused, h0, w0)
@@ -135,7 +156,7 @@ class VSRModel(nn.Module):
             features=cfg.sr_channels, blocks=cfg.sr_blocks, scale=cfg.scale,
             slope=cfg.lrelu_slope, style=cfg.sr_head_style,
             dtype=self.dtype, use_pallas=self.use_pallas, name="sr_head",
-        )(fused, ref_c)
+        )(fused, ref_c, stop_stage=stop_stage)
 
         if return_aux:
             return {

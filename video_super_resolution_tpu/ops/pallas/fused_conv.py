@@ -1,16 +1,26 @@
 """Pallas TPU kernels: fused 3x3 conv + bias + LeakyReLU, and the
 conv -> pixel-shuffle(2) -> LeakyReLU epilogue (SURVEY.md §2.3 rows 4-5).
 
-MXU formulation: a 3x3 SAME conv over a (TH, W) tile is 9 shifted matmuls —
-for each (ky, kx), the haloed input strip slice (TH*W, Cin) multiplies
-w[ky, kx] (Cin, Cout) on the MXU with f32 accumulation; bias + LReLU (and
-for the epilogue kernel the depth-to-space rearrange) happen in VMEM before
-the single HBM write-back. That fuses what the reference family ran as
-cuDNN-conv + bias + activation (+ ATen PixelShuffle) kernel launches into
-one pass over HBM.
+Why hand-written: on this platform XLA's conv lowering reaches only ~21
+TFLOP/s while its plain matmul reaches ~175 (measured, tools/bench_roofline
+with tunnel-pull subtraction) — the conv emitter, not the MXU, is the
+bottleneck. So the kernel lowers the 3x3 conv to 9 MXU matmuls over a
+VMEM-resident row strip:
+
+- grid step = one (TH, W) row strip of one batch element; the haloed input
+  strip (TH+2, Wp, Cin) streams HBM->VMEM via double-buffered async DMA
+  (major-dim slices only — Mosaic tile-alignment rules never trigger).
+- kx in {0,1,2} slices the strip along W once per kx (one vector relayout
+  each, hoisted out of the ky loop); ky slices are major-dim (free).
+- each tap is a (TH*W, Cin) x (Cin, Cout) dot with f32 accumulation; Cin
+  stays native (no 128-padding — padding doubles MXU passes for Cin=64).
+- bias + LeakyReLU fuse into the same VMEM pass before one HBM write.
+
+The reference family ran this as cuDNN conv + bias + activation (+ ATen
+PixelShuffle) kernel launches; here it is one pass over HBM.
 
 Backward: custom VJP recomputing through the XLA convolution (identical
-math; conv VJPs are themselves MXU convs, so there is nothing to hand-win).
+math; conv VJPs are themselves convs and run at forward speed).
 """
 
 from __future__ import annotations
@@ -31,69 +41,76 @@ def _pick_th(h: int, target: int = 8) -> int:
     return th
 
 
-def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, *, th, w, wp, cin, cout,
-                 slope):
-    bi = pl.program_id(0)
-    i = pl.program_id(1)
+def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, strips, sems, *,
+                 th, w, cin, cout, slope, ny, n_steps):
+    t = pl.program_id(0)
 
-    def body(x_tile, sem):
-        dma = pltpu.make_async_copy(
-            xp_ref.at[bi, pl.ds(i * th, th + 2)], x_tile, sem
+    def get_dma(slot, tt):
+        bi = tt // ny
+        hi = tt % ny
+        return pltpu.make_async_copy(
+            xp_ref.at[bi, pl.ds(hi * th, th + 2)],
+            strips.at[slot],
+            sems.at[slot],
         )
-        dma.start()
-        wk = w_ref[...].astype(jnp.float32)              # (3, 3, cin, cout)
-        dma.wait()
-        acc = jnp.zeros((th * w, cout), jnp.float32)
-        for ky in range(3):
-            for kx in range(3):
-                a = x_tile[ky : ky + th, kx : kx + w, :].astype(jnp.float32)
-                acc += jnp.dot(
-                    a.reshape(th * w, cin), wk[ky, kx],
-                    preferred_element_type=jnp.float32,
-                )
-        acc += b_ref[...].astype(jnp.float32)[None, :]
-        acc = jnp.where(acc >= 0, acc, slope * acc)
-        out_ref[0] = acc.reshape(th, w, cout).astype(out_ref.dtype)
 
-    pl.run_scoped(
-        body,
-        pltpu.VMEM((th + 2, wp, cin), xp_ref.dtype),
-        pltpu.SemaphoreType.DMA(()),
-    )
+    @pl.when(t == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_steps)
+    def _():
+        get_dma((t + 1) % 2, t + 1).start()
+
+    get_dma(t % 2, t).wait()
+
+    strip = strips[t % 2]                                   # (TH+2, Wp, Cin)
+    wk = w_ref[...].astype(jnp.float32)                     # (3, 3, Cin, Cout)
+    acc = jnp.zeros((th * w, cout), jnp.float32)
+    for kx in range(3):
+        a_kx = jax.lax.slice_in_dim(strip[...], kx, kx + w, axis=1)
+        for ky in range(3):
+            a = jax.lax.slice_in_dim(a_kx, ky, ky + th, axis=0)
+            acc += jnp.dot(
+                a.reshape(th * w, cin), wk[ky, kx],
+                preferred_element_type=jnp.float32,
+            )
+    acc += b_ref[...].astype(jnp.float32)[None, :]
+    acc = jnp.where(acc >= 0, acc, slope * acc)
+    out_ref[0] = acc.reshape(th, w, cout).astype(out_ref.dtype)
 
 
 def _fused_conv_fwd(x, w, b, slope, shuffle, interpret):
     bsz, h, wd, cin = x.shape
     cout = w.shape[-1]
     th = _pick_th(h)
-    # Mosaic memref slices need a 128-multiple minor dim: zero-pad Cin (the
-    # extra lanes multiply zero weights; a 128-lane contraction also fills
-    # the MXU better than 64).
-    cin_p = (cin + 127) // 128 * 128
-    # second-minor (W) dim of the DMA'd strip must be a multiple of the
-    # 8-sublane tile as well
+    # the DMA'd strip's second-minor (W) dim must be an 8-sublane multiple
     wd_p = ((wd + 2) + 7) // 8 * 8
-    xp = jnp.pad(
-        x, ((0, 0), (1, 1), (1, wd_p - wd - 1), (0, cin_p - cin))
-    )
-    w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
-    cin = cin_p
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wd_p - wd - 1), (0, 0)))
+    ny = h // th
+    n_steps = bsz * ny
     out_shape = (bsz, h, wd, cout)
-    out_block = (1, th, wd, cout)
     out = pl.pallas_call(
         functools.partial(
-            _conv_kernel, th=th, w=wd, wp=wd_p, cin=cin, cout=cout,
-            slope=slope,
+            _conv_kernel, th=th, w=wd, cin=cin, cout=cout, slope=slope,
+            ny=ny, n_steps=n_steps,
         ),
-        grid=(bsz, h // th),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # padded x in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),        # padded x
             pl.BlockSpec(memory_space=pltpu.VMEM),       # full weights
             pl.BlockSpec(memory_space=pltpu.VMEM),       # bias
         ],
-        out_specs=pl.BlockSpec(out_block, lambda bi, hi: (bi, hi, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, th, wd, cout),
+            lambda t: (t // ny, t % ny, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wd_p, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * wd * cin * cout * 9,
@@ -135,7 +152,9 @@ def fused_conv3x3(x: jax.Array, w: jax.Array, b: jax.Array,
     """3x3 SAME conv + bias + LReLU (+ optional pixel-shuffle r=2 epilogue).
 
     x: (B, H, W, Cin); w: (3, 3, Cin, Cout) HWIO; b: (Cout,).
-    shuffle=True additionally rearranges to (B, 2H, 2W, Cout/4) in-kernel.
+    shuffle=True additionally rearranges to (B, 2H, 2W, Cout/4).
+    Intended domain: Cin >= 16 and Cout <= 128 (the hot trunk shapes);
+    callers route other shapes to XLA.
     """
     return _fused_conv_fwd(x, w, b, slope, shuffle, interpret)
 

@@ -15,13 +15,14 @@ along H (y), in pixels.
 
 XLA formulation: one flattened-HW gather of the 4 bilinear taps + blend.
 Fully differentiable (gather transposes to scatter-add). The Pallas kernel
-(``ops/pallas/warp_tpu.py``) replaces the gather with per-tile dynamic
-slices for the hot path.
+(``ops/pallas/warp_shift_tpu.py``) replaces the gather with per-tile
+DMA'd patches + shift-select for the hot path.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,31 +44,47 @@ def backward_warp(
       img: (B, H, W, C) input to sample from.
       flow: (B, H, W, 2) pixel displacements (dx, dy).
       padding_mode: "zeros" | "border".
-      use_pallas: route to the Pallas TPU kernel.
-      impl: "auto" | "tiled" | "gather". "tiled" is the TPU-fast
-        shift-select formulation (ops/warp_tiled.py) — exact for smooth
-        flow (zeros mode only), clamps pathological in-tile flow spread
-        (see its docstring for the exactness domain). "gather" is the
-        per-pixel-exact XLA gather for arbitrary flow (slow on TPU: the
-        gather scalarizes). "auto" = gather, the always-exact path; model
-        call sites opt into "tiled" where the flow is known-smooth and
-        the warp is hot.
+      use_pallas: equivalent to impl="pallas".
+      impl: "auto" | "pallas" | "tiled" | "gather".
+        "pallas" is the hand-written shift-select TPU kernel
+        (ops/pallas/warp_shift_tpu.py) — zeros mode, exact for smooth flow
+        (same domain as "tiled"); small shapes route to "tiled"
+        automatically. "tiled" is the pure-XLA shift-select formulation
+        (ops/warp_tiled.py). "gather" is the per-pixel-exact XLA gather for
+        arbitrary flow (slow on TPU: the gather scalarizes). "auto" =
+        gather, the always-exact path; model call sites opt into
+        "pallas"/"tiled" where the flow is known-smooth and the warp is hot.
 
     Returns:
       (B, H, W, C) warped image, dtype of ``img``.
     """
     if padding_mode not in ("zeros", "border"):
         raise ValueError(f"bad padding_mode {padding_mode}")
-    if impl not in ("auto", "tiled", "gather"):
+    if impl not in ("auto", "pallas", "tiled", "gather"):
         raise ValueError(f"bad impl {impl}")
     if use_pallas:
-        from video_super_resolution_tpu.ops.pallas.warp_tpu import warp_pallas
+        impl = "pallas"
+    if impl in ("pallas", "tiled"):
+        if padding_mode != "zeros":
+            raise ValueError(f"impl={impl!r} supports only zeros padding")
+        b, h, w, c = img.shape
+        # packed-lane kernel: C<=8 (the model's hot frame+depth warp is
+        # C=4); larger-C feature warps use the XLA tiled formulation.
+        # Off-TPU the kernel would run in the (slow, emulated) interpreter,
+        # so model-level "pallas" falls back to the numerically-equivalent
+        # tiled path there; kernel tests call warp_shift_pallas directly
+        # with interpret=True (VSR_PALLAS_INTERPRET=1 forces it here too).
         from video_super_resolution_tpu.ops.pallas.util import should_interpret
 
-        return warp_pallas(img, flow, padding_mode, should_interpret())
-    if impl == "tiled":
-        if padding_mode != "zeros":
-            raise ValueError("impl='tiled' supports only zeros padding")
+        interp = should_interpret()
+        forced = os.environ.get("VSR_PALLAS_INTERPRET", "") == "1"
+        if (impl == "pallas" and h >= 8 and w >= 64 and c <= 8
+                and (not interp or forced)):
+            from video_super_resolution_tpu.ops.pallas.warp_shift_tpu import (
+                warp_shift_pallas,
+            )
+
+            return warp_shift_pallas(img, flow, interpret=interp)
         from video_super_resolution_tpu.ops.warp_tiled import warp_tiled
 
         return warp_tiled(img, flow)
