@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--w", type=int, default=960)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--stages", default="",
+                    help="comma list; empty = all ('full' = '')")
     args = ap.parse_args()
     if args.cpu and jax.config.jax_platforms != "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -72,8 +74,9 @@ def main():
         per_ms = ((time.time() - t0) / reps - pull_s) / args.n * 1e3
         return per_ms, compile_s
 
-    stages = ["flow", "depth", "warp", "encode", "fusion",
-              "sr_trunk", "sr_conv", "sr_skip", ""]
+    stages = (args.stages.split(",") if args.stages else
+              ["flow", "depth", "fd", "warp", "encode", "fusion",
+               "sr_trunk", "sr_conv", "sr_skip", ""])
     prev = 0.0
     for st in stages:
         ms, cs = timed(st)

@@ -53,22 +53,52 @@ class DepthGuidedFusion(nn.Module):
         ref_depth32 = ref_depth.astype(jnp.float32)
         warped_depths32 = warped_depths.astype(jnp.float32)
 
-        # Per-neighbor alignment scores, neighbors folded into batch.
+        # Per-neighbor alignment scores, neighbors folded into batch. The
+        # score conv is linear in its input channels, so the reference-frame
+        # half runs ONCE per batch element and broadcasts over neighbors
+        # (identical math to a conv on the concat, ~25% fewer score FLOPs;
+        # bias lives in the neighbor half, added once).
         ddiff = jnp.abs(warped_depths32 - ref_depth32[:, None])      # (B,N,H,W,1)
-        score_in = jnp.concatenate(
-            [
-                jnp.broadcast_to(ref_feat[:, None], (b, n, h, w, f)),
-                warped_feats,
-                jnp.broadcast_to(ref_depth32[:, None].astype(dt), (b, n, h, w, 1)),
-                warped_depths32.astype(dt),
-                ddiff.astype(dt),
-            ],
+        ref_in = jnp.concatenate(
+            [ref_feat, ref_depth32.astype(dt)], axis=-1)             # (B,H,W,F+1)
+        nbr_in = jnp.concatenate(
+            [warped_feats, warped_depths32.astype(dt), ddiff.astype(dt)],
             axis=-1,
-        ).reshape(b * n, h, w, -1)
-        s = ConvLReLU(self.features, slope=self.slope, dtype=dt,
-                      use_pallas=self.use_pallas)(score_in)
+        ).reshape(b * n, h, w, f + 2)
+        kern = self.param(
+            "score_kernel", nn.initializers.lecun_normal(),
+            (3, 3, 2 * f + 3, self.features), jnp.float32)
+        bias = self.param("score_bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+
+        def conv(x, k):
+            if self.use_pallas:
+                from video_super_resolution_tpu.ops.pallas.fused_conv import (
+                    fused_conv3x3,
+                )
+                from video_super_resolution_tpu.ops.pallas.util import (
+                    should_interpret,
+                )
+
+                # slope=1.0 -> identity activation; bias added by the caller
+                return fused_conv3x3(
+                    x.astype(dt), k.astype(dt),
+                    jnp.zeros((k.shape[-1],), dt), 1.0, False,
+                    should_interpret(),
+                )
+            return jax.lax.conv_general_dilated(
+                x.astype(dt), k.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        s_ref = conv(ref_in, kern[:, :, : f + 1])                    # (B,H,W,F)
+        s_nbr = conv(nbr_in, kern[:, :, f + 1:]).reshape(b, n, h, w,
+                                                         self.features)
+        s = (s_ref[:, None].astype(jnp.float32) + s_nbr.astype(jnp.float32)
+             + bias[None, None, None, None, :])
+        s = jnp.where(s >= 0, s, self.slope * s).astype(dt)
         s = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
-                    param_dtype=jnp.float32)(s.astype(jnp.float32))
+                    param_dtype=jnp.float32)(
+            s.reshape(b * n, h, w, self.features).astype(jnp.float32))
         scores = s.reshape(b, n, h, w, 1)
         weights = jax.nn.softmax(scores, axis=1)                      # over neighbors
 

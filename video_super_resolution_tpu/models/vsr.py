@@ -127,6 +127,8 @@ class VSRModel(nn.Module):
                  .reshape(b * n, h, w, 1).astype(nbrs_flat.dtype)],
                 axis=-1,
             )
+            if stop_stage == "fd":
+                return fd + jnp.float32(1e-20) * jnp.mean(flows)
             warped = backward_warp(fd, flows, use_pallas=self.use_pallas,
                                    impl=cfg.warp_impl)
             if stop_stage == "warp":
