@@ -45,7 +45,10 @@ def bench_one(fn, img, flow, n=32, reps=3):
             im, fl = carry
             out = fn(im, fl)
             dep = jnp.mean(out).astype(im.dtype) * 1e-20
-            return (im + dep, fl), jnp.mean(out)
+            # thread the dep through BOTH inputs: a loop-invariant flow lets
+            # XLA hoist the implementation's flow-derived prep (per-tile
+            # bases etc.) out of the scan and under-report per-call cost
+            return (im + dep, fl + dep.astype(fl.dtype)), jnp.mean(out)
         (_, _), means = jax.lax.scan(body, (im, fl), None, length=n)
         return jnp.sum(means)
 

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--stages", default="",
                     help="comma list; empty = all ('full' = '')")
+    ap.add_argument("--warp-impl", default="",
+                    help="override ModelConfig.warp_impl")
     args = ap.parse_args()
     if args.cpu and jax.config.jax_platforms != "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -38,6 +40,11 @@ def main():
     from video_super_resolution_tpu.training.state import create_train_state
 
     cfg = VSRConfig()
+    if args.warp_impl:
+        import dataclasses
+
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, warp_impl=args.warp_impl))
     state = create_train_state(cfg)
     rng = np.random.default_rng(0)
     window = jnp.asarray(

@@ -32,6 +32,55 @@ import jax.numpy as jnp
 from video_super_resolution_tpu.models.common import ConvLReLU
 
 
+class ScoreConv(nn.Module):
+    """The 3x3 alignment-score conv, split by input-channel linearity:
+    conv(concat[ref_in, nbr_in]) == conv_ref + conv_nbr + bias, with the
+    reference half computed once per batch element and broadcast over
+    neighbors. One (3,3,Cref+Cnbr,F) HWIO kernel (torch-importable), sliced
+    per half. Returns pre-activation f32 scores (B, N, H, W, F)."""
+
+    features: int
+    slope: float = 0.1
+    use_pallas: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ref_in: jax.Array, nbr_in: jax.Array) -> jax.Array:
+        b, n, h, w, cn = nbr_in.shape
+        cr = ref_in.shape[-1]
+        dt = self.dtype
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (3, 3, cr + cn, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+
+        def conv(x, k):
+            if self.use_pallas:
+                from video_super_resolution_tpu.ops.pallas.fused_conv import (
+                    fused_conv3x3,
+                )
+                from video_super_resolution_tpu.ops.pallas.util import (
+                    should_interpret,
+                )
+
+                # slope=1.0 -> identity epilogue; bias added below, once
+                return fused_conv3x3(
+                    x.astype(dt), k.astype(dt),
+                    jnp.zeros((k.shape[-1],), dt), 1.0, False,
+                    should_interpret(),
+                )
+            return jax.lax.conv_general_dilated(
+                x.astype(dt), k.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        s_ref = conv(ref_in, kern[:, :, :cr])                 # (B,H,W,F)
+        s_nbr = conv(nbr_in.reshape(b * n, h, w, cn),
+                     kern[:, :, cr:]).reshape(b, n, h, w, self.features)
+        return (s_ref[:, None].astype(jnp.float32)
+                + s_nbr.astype(jnp.float32)
+                + bias[None, None, None, None, :])
+
+
 class DepthGuidedFusion(nn.Module):
     features: int = 64
     slope: float = 0.1
@@ -64,37 +113,9 @@ class DepthGuidedFusion(nn.Module):
         nbr_in = jnp.concatenate(
             [warped_feats, warped_depths32.astype(dt), ddiff.astype(dt)],
             axis=-1,
-        ).reshape(b * n, h, w, f + 2)
-        kern = self.param(
-            "score_kernel", nn.initializers.lecun_normal(),
-            (3, 3, 2 * f + 3, self.features), jnp.float32)
-        bias = self.param("score_bias", nn.initializers.zeros,
-                          (self.features,), jnp.float32)
-
-        def conv(x, k):
-            if self.use_pallas:
-                from video_super_resolution_tpu.ops.pallas.fused_conv import (
-                    fused_conv3x3,
-                )
-                from video_super_resolution_tpu.ops.pallas.util import (
-                    should_interpret,
-                )
-
-                # slope=1.0 -> identity activation; bias added by the caller
-                return fused_conv3x3(
-                    x.astype(dt), k.astype(dt),
-                    jnp.zeros((k.shape[-1],), dt), 1.0, False,
-                    should_interpret(),
-                )
-            return jax.lax.conv_general_dilated(
-                x.astype(dt), k.astype(dt), (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-        s_ref = conv(ref_in, kern[:, :, : f + 1])                    # (B,H,W,F)
-        s_nbr = conv(nbr_in, kern[:, :, f + 1:]).reshape(b, n, h, w,
-                                                         self.features)
-        s = (s_ref[:, None].astype(jnp.float32) + s_nbr.astype(jnp.float32)
-             + bias[None, None, None, None, :])
+        )                                                            # (B,N,H,W,F+2)
+        s = ScoreConv(self.features, slope=self.slope, dtype=dt,
+                      use_pallas=self.use_pallas)(ref_in, nbr_in)
         s = jnp.where(s >= 0, s, self.slope * s).astype(dt)
         s = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
                     param_dtype=jnp.float32)(

@@ -60,8 +60,12 @@ def backward_warp(
     """
     if padding_mode not in ("zeros", "border"):
         raise ValueError(f"bad padding_mode {padding_mode}")
-    if impl not in ("auto", "pallas", "tiled", "gather"):
+    if impl not in ("auto", "pallas", "tiled", "gather", "identity"):
         raise ValueError(f"bad impl {impl}")
+    if impl == "identity":
+        # DEBUG ONLY: skip the warp (wrong numerics) — isolates the warp's
+        # true in-context cost in profiling.
+        return img + 0.0 * flow[..., :1]
     if use_pallas:
         impl = "pallas"
     if impl in ("pallas", "tiled"):
