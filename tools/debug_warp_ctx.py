@@ -111,10 +111,14 @@ def main():
         fl = flow_ident.apply({"params": p["flow_net"]}, ref + c, nbr + c)
         return warp(fd0 + c, fl)
 
+    def body_flowident_nowarp(c):
+        return flow_ident.apply({"params": p["flow_net"]}, ref + c, nbr + c)
+
     bodies = {"carried": body_carried, "flow": body_flow,
               "depth": body_depth, "flowdepth": body_flowdepth,
               "flowbar": body_flowbar, "flownowarp": body_flownowarp,
-              "flowgather": body_flowgather, "flowident": body_flowident}
+              "flowgather": body_flowgather, "flowident": body_flowident,
+              "flowident_nowarp": body_flowident_nowarp}
 
     for name in args.variants.split(","):
         fn = bodies[name]

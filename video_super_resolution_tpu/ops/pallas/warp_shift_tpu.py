@@ -127,9 +127,11 @@ def _warp_kernel(oy_ref, ox_ref, flow_ref, img_ref, out_ref, patches, sems,
     # undo the x-granule quantization of the DMA start: rotate the patch
     # left by the residue so lane 0 corresponds to base ox again (the wrap
     # region at the end is never read — spl is one granule wider than the
-    # shift-select needs)
+    # shift-select needs). NB: express the left rotation as roll(len - r),
+    # NOT roll(-r): Mosaic miscompiles negative dynamic shifts (measured on
+    # v5e: garbage lanes; interpret mode handles both).
     rofs = (ox_ref[t] - ox_ref[t] // gx * gx) * p
-    pt = pltpu.roll(patches[t % 2][...], -rofs, 1).astype(jnp.float32)
+    pt = pltpu.roll(patches[t % 2][...], spl - rofs, 1).astype(jnp.float32)
     acc = jnp.zeros((ty, txl), jnp.float32)
     for u in range(rd_x + 2):
         cols = jax.lax.slice_in_dim(pt, u * p, u * p + txl, axis=1)
