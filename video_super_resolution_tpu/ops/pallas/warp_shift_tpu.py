@@ -180,14 +180,15 @@ def _warp_shift_fwd(img: jax.Array, flow: jax.Array, rd_y: int, rd_x: int,
     fy = (jnp.floor(sy) - ys[None]).astype(jnp.int32)
     fx = (jnp.floor(sx) - xs[None]).astype(jnp.int32)
 
-    def tile(a):  # (B, hp, wp) -> (B, ny, nx, ty, tx)
-        return a.reshape(b, ny, ty, nx, tx).transpose(0, 1, 3, 2, 4)
+    def tile_min(vals, mask):
+        # masked per-tile min via reshape + two-axis reduce, no transpose
+        # (a transpose-fed reduce can deoptimize inside large programs)
+        big = jnp.int32(1 << 20)
+        v = jnp.where(mask, vals, big).reshape(b, ny, ty, nx, tx)
+        return jnp.min(v, axis=(2, 4))                      # (B, ny, nx)
 
-    big = jnp.int32(1 << 20)
-    oy = jnp.min(jnp.where(tile(alive_y.astype(jnp.int32)) > 0, tile(fy), big),
-                 axis=(3, 4))
-    ox = jnp.min(jnp.where(tile(alive_x.astype(jnp.int32)) > 0, tile(fx), big),
-                 axis=(3, 4))
+    oy = tile_min(fy, alive_y)
+    ox = tile_min(fx, alive_x)
     # quantize the vertical base to 8-row granules: the patch DMA's sublane
     # start must be provably 8-aligned (int32 floor-division floors toward
     # -inf, so negative bases quantize down, never up)

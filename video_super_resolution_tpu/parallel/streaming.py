@@ -62,19 +62,26 @@ def make_streaming_program(
     model = _build_model(cfg)
 
     if not use_space:
-        def forward_windows_closed(params):
-            def fw(windows):
-                return model.apply({"params": params}, windows)
-            return fw
+        # params enter as a traced shard_map input (replicated), NOT a
+        # python closure: closing over them would rebuild + re-jit the
+        # program on every call (recompile per invocation — measured 11 s
+        # per 2-frame call on the CPU mesh before this fix).
+        from video_super_resolution_tpu.parallel.temporal import (
+            halo_exchange_frames)
+        from video_super_resolution_tpu.runtime.mesh import AXIS_TIME as _T
 
-        def run(params, frames):
-            fn = temporal_shard_forward(
-                forward_windows_closed(params), mesh, window
-            )
-            return fn(frames)
+        r_halo = window // 2
 
-        # temporal_shard_forward already jits; wrap to keep one call signature
-        return run
+        def shard_fn(params, frames_local):
+            f = frames_local.shape[0]
+            ext = halo_exchange_frames(frames_local, r_halo, _T)
+            windows = jnp.stack([ext[i: i + window] for i in range(f)], 0)
+            return model.apply({"params": params}, windows)
+
+        return jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(_T)), out_specs=P(_T),
+        ))
 
     t_total = None  # static per trace from frames.shape
 

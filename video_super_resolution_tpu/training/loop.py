@@ -25,6 +25,48 @@ from video_super_resolution_tpu.training.step import make_eval_step, make_train_
 from video_super_resolution_tpu.utils.logging import MetricsLogger
 
 
+def _make_batch_stream(cfg: VSRConfig, train_ds: ClipDataset):
+    """Host input stream: the native C++ loader (libpng decode + bicubic
+    degrade + pthread prefetch, data/native_loader.py) when the dataset is
+    path-backed HR-only and the .so is built; the Python ClipDataset
+    otherwise. Returns (iterator, closer, name)."""
+    if train_ds._paths_hr is not None and train_ds._paths_lr is None:
+        from video_super_resolution_tpu.data import native_loader
+
+        if native_loader.available():
+            loader = native_loader.NativeClipLoader(
+                train_ds._paths_hr, window=cfg.model.window,
+                scale=cfg.model.scale, crop_size=cfg.data.crop_size,
+                batch_size=cfg.data.batch_size, augment=cfg.data.augment,
+                seed=cfg.train.seed,
+            )
+            return iter(loader), loader.close, "native"
+    return train_ds.batches(cfg.data.batch_size), (lambda: None), "python"
+
+
+def _device_prefetch(batches, sharding, depth: int = 2):
+    """Keep `depth` batches in flight on-device ahead of the consumer.
+
+    jax.device_put is async: transferring batch t+1 (and letting the host
+    loader produce t+2) overlaps the device's step t. Without this the host
+    path serializes decode -> transfer -> step (measured r1: 10.6 steps/s
+    host-driven vs 73 device-side)."""
+    from collections import deque
+
+    buf = deque()
+    for batch in batches:
+        if sharding is not None:
+            batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        else:
+            batch = {k: jax.device_put(jnp.asarray(v))
+                     for k, v in batch.items()}
+        buf.append(batch)
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def train(
     cfg: VSRConfig,
     train_ds: ClipDataset,
@@ -49,16 +91,16 @@ def train(
     bsharding = (
         NamedSharding(mesh, P(AXIS_DATA)) if mesh is not None else None
     )
-    batches = train_ds.batches(cfg.data.batch_size)
+    raw_batches, close_loader, loader_name = _make_batch_stream(cfg, train_ds)
+    batches = _device_prefetch(raw_batches, bsharding)
+    logger.log(start_step,
+               {"native_loader": 1.0 if loader_name == "native" else 0.0})
     last_eval: Dict = {}
     import time as _time
 
     t_last = _time.time()
     for step in range(start_step, steps):
         batch = next(batches)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        if bsharding is not None:
-            batch = {k: jax.device_put(v, bsharding) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
 
         if (step + 1) % cfg.train.log_every == 0:
@@ -79,6 +121,7 @@ def train(
             logger.log(step + 1, {"eval_psnr": avg["psnr"],
                                   "eval_ssim": avg["ssim"]}, prefix="eval/")
 
+    close_loader()
     mgr.wait()
     logger.close()
     return {"state": state, "eval": last_eval, "ckpt": mgr}
