@@ -26,7 +26,8 @@ def _cfg():
         max_displacement=2, flow_finest_level=1,
         flow_estimator_channels=(16, 12), context_channels=(16, 12),
         depth_channels=8, depth_levels=2, fusion_channels=16,
-        sr_channels=16, sr_blocks=3, warp_impl="gather",
+        sr_channels=16, sr_blocks=3, sr_wide_blocks=False,
+        warp_impl="gather",
     )
 
 

@@ -288,7 +288,8 @@ def _sr_pairs(tm):
 def test_sr_head_matches_torch(rng):
     f, blocks, scale, cin = 16, 3, 4, 16
     tm = TSRHead(f, blocks, scale, cin)
-    fm = SRHead(features=f, blocks=blocks, scale=scale, style="espcn")
+    fm = SRHead(features=f, blocks=blocks, scale=scale, style="espcn",
+                wide_blocks=False)
     fused = rng.random((1, 12, 16, cin)).astype(np.float32)
     ref = rng.random((1, 12, 16, 3)).astype(np.float32)
     variables = fm.init(jax.random.key(0), jnp.asarray(fused),
@@ -423,7 +424,8 @@ def small_cfg():
         max_displacement=2, flow_finest_level=1,
         flow_estimator_channels=EST, context_channels=CTX,
         depth_channels=8, depth_levels=2, fusion_channels=16,
-        sr_channels=16, sr_blocks=3, warp_impl="gather",
+        sr_channels=16, sr_blocks=3, sr_wide_blocks=False,
+        warp_impl="gather",
     )
 
 

@@ -41,7 +41,11 @@ class ModelConfig:
     # --- fusion + SR head ---
     fusion_channels: int = 64
     sr_channels: int = 64
-    sr_blocks: int = 10                 # residual blocks in the SR trunk
+    # 5 wide (C->2C->C) residual blocks == 10 narrow blocks in MACs and conv
+    # depth, but every trunk conv gets a 128-lane side the MXU fills
+    # (ops note in models/common.ResBlock)
+    sr_blocks: int = 5                  # residual blocks in the SR trunk
+    sr_wide_blocks: bool = True
     lrelu_slope: float = 0.1
     # --- TPU performance variants (both preserve the capability contract) ---
     # warp neighbor frames+depth (4ch) and encode after warping, instead of

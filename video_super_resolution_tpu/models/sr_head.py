@@ -31,9 +31,10 @@ class SRHead(nn.Module):
     """
 
     features: int = 64
-    blocks: int = 10
+    blocks: int = 5
     scale: int = 4
     slope: float = 0.1
+    wide_blocks: bool = True
     style: str = "espcn"
     use_pallas: bool = False
     dtype: Any = jnp.float32
@@ -52,7 +53,7 @@ class SRHead(nn.Module):
         trunk_in = h
         for _ in range(self.blocks):
             h = ResBlock(self.features, slope=self.slope, dtype=dt,
-                         use_pallas=self.use_pallas)(h)
+                         use_pallas=self.use_pallas, wide=self.wide_blocks)(h)
         h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=dt,
                     param_dtype=jnp.float32)(h)
         h = h + trunk_in                                  # global trunk skip

@@ -74,4 +74,8 @@ def _correlation_xla(f1: jax.Array, f2: jax.Array, d: int) -> jax.Array:
                 f2p, (0, d + dy, d + dx, 0), (b, d + dy + h, d + dx + w, c)
             ).astype(jnp.float32)
             slices.append(jnp.sum(f1 * shifted, axis=-1) * inv_c)
-    return jnp.stack(slices, axis=-1)
+    # Stack the K displacement planes on a MAJOR axis (contiguous block
+    # copies) and transpose once to channels-last: an 81-piece concatenate
+    # on the minor axis writes one lane-strided element stream per piece —
+    # measured 8.7 ms for (2,136,240,81) f32 on v5e vs ~0.2 ms this way.
+    return jnp.stack(slices, axis=1).transpose(0, 2, 3, 1)
