@@ -120,7 +120,9 @@ def main():
     if args.quick:
         args.h, args.w = 180, 320
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+    from video_super_resolution_tpu.runtime.cache import enable_cache
+
+    enable_cache("/tmp/jax_cache_bench")
     import jax
 
     if args.cpu and jax.config.jax_platforms != "cpu":

@@ -14,8 +14,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
-
+from video_super_resolution_tpu.runtime.cache import enable_cache
+enable_cache("/tmp/jax_cache_tests")
 import jax  # noqa: E402
 
 # The axon PJRT plugin force-prepends "axon" to jax_platforms at import,

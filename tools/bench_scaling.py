@@ -31,8 +31,8 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
-
+from video_super_resolution_tpu.runtime.cache import enable_cache
+enable_cache("/tmp/jax_cache_tests")
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -58,8 +58,8 @@ def run_worker(pid: int, nproc: int, port: int, frames_dir: str) -> dict:
     flags = os.environ.get("XLA_FLAGS", "")
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=4").strip()
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
-
+    from video_super_resolution_tpu.runtime.cache import enable_cache
+    enable_cache("/tmp/jax_cache_tests")
     import jax
 
     from video_super_resolution_tpu.runtime.mesh import (

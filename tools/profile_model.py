@@ -29,7 +29,9 @@ def main():
     ap.add_argument("--pallas", action="store_true")
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+    from video_super_resolution_tpu.runtime.cache import enable_cache
+
+    enable_cache("/tmp/jax_cache_bench")
     import jax
 
     if args.cpu and jax.config.jax_platforms != "cpu":

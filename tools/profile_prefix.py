@@ -15,8 +15,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
-
+from video_super_resolution_tpu.runtime.cache import enable_cache
+enable_cache("/tmp/jax_cache_bench")
 import jax
 import jax.numpy as jnp
 import numpy as np
