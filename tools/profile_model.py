@@ -82,8 +82,10 @@ def main():
                          args.pallas, dtype=dt)
     fusion_mod = DepthGuidedFusion(mc.fusion_channels, mc.lrelu_slope,
                                    args.pallas, dt)
-    sr_mod = SRHead(mc.sr_channels, mc.sr_blocks, mc.scale, mc.lrelu_slope,
-                    mc.sr_head_style, args.pallas, dt)
+    sr_mod = SRHead(features=mc.sr_channels, blocks=mc.sr_blocks,
+                    scale=mc.scale, slope=mc.lrelu_slope,
+                    wide_blocks=mc.sr_wide_blocks, style=mc.sr_head_style,
+                    use_pallas=args.pallas, dtype=dt)
 
     flows = jax.jit(lambda a, b: flow_mod.apply({"params": p["flow_net"]},
                                                 a, b))(ref_rep, nbrs)
@@ -154,7 +156,8 @@ def main():
             lambda f: depth_mod.apply({"params": p["depth_net"]}, f), frames)
     parts["warp_full(4ch)"] = timed(
         "warp_full(4ch x nbrs)", lambda f, fl: backward_warp(
-            f, fl, use_pallas=args.pallas), frames4, flows)
+            f, fl, use_pallas=args.pallas, impl=mc.warp_impl),
+        frames4, flows)
 
     def enc(x):
         from video_super_resolution_tpu.models.common import ConvLReLU

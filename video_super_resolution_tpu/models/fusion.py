@@ -81,6 +81,39 @@ class ScoreConv(nn.Module):
                 + bias[None, None, None, None, :])
 
 
+class Score1(nn.Module):
+    """3x3 conv F -> 1 executed as channel-contraction + 9 shifted adds.
+
+    A 1-output-channel conv is pathological on the MXU (127/128 output
+    lanes idle: measured 3.9 ms for 0.6 GMAC at (2,544,960,64) — 0.3 TF/s).
+    Same math, reordered: contract channels first with a (F, 9) matmul
+    (tap t = (dy*3+dx)), then sum the 9 taps as shifted slices. Params keep
+    the torch-importable (3,3,F,1) HWIO layout.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, f = x.shape
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (3, 3, f, 1), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
+        # (3,3,F,1) -> (F, 9) with tap index dy*3+dx on the minor axis
+        k9 = kern[..., 0].transpose(2, 0, 1).reshape(f, 9)
+        u = jax.lax.dot_general(
+            x.reshape(b * h * w, f).astype(self.dtype), k9.astype(self.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).reshape(b, h, w, 9)
+        up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = bias[0]
+        for dy in range(3):
+            for dx in range(3):
+                out = out + up[:, dy:dy + h, dx:dx + w, dy * 3 + dx]
+        return out[..., None]                                # (B,H,W,1) f32
+
+
 class DepthGuidedFusion(nn.Module):
     features: int = 64
     slope: float = 0.1
@@ -117,9 +150,8 @@ class DepthGuidedFusion(nn.Module):
         s = ScoreConv(self.features, slope=self.slope, dtype=dt,
                       use_pallas=self.use_pallas)(ref_in, nbr_in)
         s = jnp.where(s >= 0, s, self.slope * s).astype(dt)
-        s = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
-                    param_dtype=jnp.float32)(
-            s.reshape(b * n, h, w, self.features).astype(jnp.float32))
+        s = Score1(self.features, dtype=dt)(
+            s.reshape(b * n, h, w, self.features))
         scores = s.reshape(b, n, h, w, 1)
         weights = jax.nn.softmax(scores, axis=1)                      # over neighbors
 
