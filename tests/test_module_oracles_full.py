@@ -218,7 +218,7 @@ class TFusion(nn.Module):
 
 
 def _fusion_pairs(tm):
-    """flax order: ConvLReLU_0 (fuse1) < ConvLReLU_1 (fuse2) < Conv_0
+    """flax order: ConvLReLU_0 (fuse1) < ConvLReLU_1 (fuse2) < Score1_0
     (score->1) < ScoreConv_0."""
     return [(tm.fuse1.weight, tm.fuse1.bias),
             (tm.fuse2.weight, tm.fuse2.bias),

@@ -89,6 +89,12 @@ class Score1(nn.Module):
     Same math, reordered: contract channels first with a (F, 9) matmul
     (tap t = (dy*3+dx)), then sum the 9 taps as shifted slices. Params keep
     the torch-importable (3,3,F,1) HWIO layout.
+
+    Dtype: the contraction multiplies in the model compute dtype (bf16 in
+    production) with f32 accumulation (preferred_element_type), and the 9
+    shifted-tap adds run fully in f32. This is the MXU-native formulation;
+    the pre-rewrite nn.Conv's all-f32 multiply bought no extra softmax
+    stability beyond what the f32 accumulate + f32 adds here provide.
     """
 
     features: int

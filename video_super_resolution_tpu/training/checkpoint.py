@@ -6,6 +6,13 @@ here checkpoints are written asynchronously (training does not stall on IO)
 and restore is sharding-aware: params land directly on the mesh with their
 target shardings (crash recovery story in SURVEY.md §5.3: frequent async
 checkpoints + relaunch-on-failure + restore-latest).
+
+Compatibility note: restore uses ocp.args.StandardRestore(state_template),
+which is structure-strict — the param-tree key rename fusion/Conv_0 ->
+fusion/Score1_0 (2026-08-20, the Score1 contraction rewrite) invalidates
+checkpoints saved before it. No shim is kept: no pre-rename checkpoint needs
+to remain loadable (none was ever a trained artifact), and torch weight
+import is unaffected (the sorted-path slot of the score conv is unchanged).
 """
 
 from __future__ import annotations
