@@ -1,0 +1,86 @@
+"""Fault injection on the 2-process harness (SURVEY.md §5.3's named test,
+VERDICT r2 missing #6): kill one worker mid-run right after a checkpoint,
+assert a clean relaunch restores the latest checkpoint and reproduces the
+uninterrupted run's loss curve bit-for-bit (CPU backend is deterministic).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tools", "multiprocess_train_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _launch(pid, port, ckpt_dir, steps, die_at=0):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO
+    return subprocess.Popen(
+        [sys.executable, WORKER, "--pid", str(pid), "--nproc", "2",
+         "--port", str(port), "--ckpt-dir", str(ckpt_dir),
+         "--steps", str(steps), "--die-at", str(die_at)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+
+
+def _run_pair(port, ckpt_dir, steps, die_at=0, survivor_timeout=120):
+    procs = [_launch(i, port, ckpt_dir, steps, die_at) for i in range(2)]
+    outs = [None, None]
+    if die_at:
+        # worker 1 self-terminates (exit 17) after the die_at checkpoint;
+        # worker 0 then blocks in the next step's collective — kill it by
+        # exact PID once worker 1 is gone.
+        out1, _ = procs[1].communicate(timeout=survivor_timeout)
+        assert procs[1].returncode == 17, out1[-3000:]
+        try:
+            out0, _ = procs[0].communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            procs[0].kill()
+            out0, _ = procs[0].communicate()
+        return None
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=560)
+        assert p.returncode == 0, out[-3000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("TRAINW ")]
+        assert line, out[-3000:]
+        outs[i] = json.loads(line[-1][len("TRAINW "):])
+    return outs
+
+
+def test_multiprocess_kill_resume(tmp_path):
+    steps, die_at = 4, 2
+
+    # 1) uninterrupted reference run
+    ref = _run_pair(_free_port(), tmp_path / "ref", steps)
+    assert ref[0]["losses"] == ref[1]["losses"]
+    assert ref[0]["final_step"] == steps
+    ref_losses = ref[0]["losses"]
+    assert set(ref_losses) == {str(s) for s in range(1, steps + 1)} or \
+        set(ref_losses) == set(range(1, steps + 1))
+
+    # 2) crash run: worker 1 dies right after the step-2 checkpoint
+    crash_dir = tmp_path / "crash"
+    _run_pair(_free_port(), crash_dir, steps, die_at=die_at)
+
+    # 3) relaunch on the same checkpoint dir: must restore step 2 and
+    #    reproduce the reference losses for the remaining steps exactly
+    res = _run_pair(_free_port(), crash_dir, steps)
+    for r in res:
+        assert r["start"] == die_at, r
+        assert r["final_step"] == steps
+    # json round-trip stringifies the int keys
+    resumed = {int(k): v for k, v in res[0]["losses"].items()}
+    refl = {int(k): v for k, v in ref_losses.items()}
+    assert set(resumed) == {die_at + 1, steps}
+    for s in resumed:
+        assert resumed[s] == refl[s], (s, resumed[s], refl[s])
