@@ -39,7 +39,13 @@ def bench_one(fn, args_, n=16, reps=3):
     @jax.jit
     def chained(*xs):
         def body(c, _):
-            out = fn(xs[0] + c.astype(xs[0].dtype), *xs[1:])
+            # Nonlinear, value-preserving iteration dependence: max(x, c-1e30)
+            # == x numerically, but maximum does NOT distribute through the
+            # conv. The previous additive form (x + c) let XLA split
+            # conv(x+c) = conv(x) + c*ksum and hoist the conv out of the
+            # scan — measured "509 TF/s" (chip peak is 197) before this fix.
+            xi = jnp.maximum(xs[0], (c - jnp.float32(1e30)).astype(xs[0].dtype))
+            out = fn(xi, *xs[1:])
             m = jnp.mean(out).astype(jnp.float32)
             return m * 1e-20, m
         _, means = jax.lax.scan(body, jnp.float32(0), None, length=n)

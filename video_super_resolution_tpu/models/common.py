@@ -7,7 +7,8 @@ All convs are NHWC / HWIO (TPU-native layout: C rides the 128 lanes, XLA maps
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+import os
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -18,6 +19,43 @@ Dtype = Any
 
 def lrelu(x: jax.Array, slope: float = 0.1) -> jax.Array:
     return nn.leaky_relu(x, negative_slope=slope)
+
+
+def conv_impl_policy() -> str:
+    """Global conv routing policy: "auto" (default), "xla", or "pallas".
+
+    Per-op routing (VERDICT r2 item 3a): instead of one model-wide
+    use_pallas flag, each 3x3 conv call site decides from its shape whether
+    the hand-written MXU kernel (ops/pallas/fused_conv.py) beats XLA's conv
+    emitter — the emitter reaches only ~21-33 TF/s on the large-spatial
+    trunk shapes while plain MXU matmuls reach ~175 (measured,
+    tools/bench_conv.py). The env var VSR_CONV_IMPL overrides for A/B runs.
+    """
+    return os.environ.get("VSR_CONV_IMPL", "auto")
+
+
+def pallas_conv_wins(h: int, w: int, cin: int, cout: int) -> bool:
+    """Measured win domain of the Pallas 9-matmul conv vs XLA's emitter.
+
+    Large-spatial convs with MXU-worthy channel counts win; tiny feature
+    maps and tiny cin (where 128-lane padding dominates) lose. Calibrated
+    on chip via tools/bench_conv.py (artifact: BENCH_KERNELS.md).
+    """
+    return cin >= 32 and cout >= 16 and h * w >= 96 * 96
+
+
+def use_pallas_conv(impl: Optional[str], h: int, w: int, cin: int,
+                    cout: int) -> bool:
+    """Resolve the routing decision for one 3x3 stride-1 dilation-1 conv."""
+    from video_super_resolution_tpu.ops.pallas.util import should_interpret
+
+    impl = impl or conv_impl_policy()
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    # "auto": the kernel only pays off compiled on the real chip
+    return (not should_interpret()) and pallas_conv_wins(h, w, cin, cout)
 
 
 class ConvLReLU(nn.Module):
@@ -49,9 +87,12 @@ class ConvLReLU(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        fast = (
-            self.use_pallas and self.kernel == 3 and self.strides == 1
-            and self.dilation == 1
+        routable = (self.kernel == 3 and self.strides == 1
+                    and self.dilation == 1)
+        fast = routable and (
+            self.use_pallas
+            or use_pallas_conv(None, x.shape[1], x.shape[2], cin,
+                               self.features)
         )
         if fast:
             from video_super_resolution_tpu.ops.pallas.fused_conv import (
@@ -83,6 +124,85 @@ class ConvLReLU(nn.Module):
         return lrelu(out, self.slope)
 
 
+class RoutedConv(nn.Module):
+    """3x3 SAME conv with no activation, shape-routed between XLA and the
+    Pallas MXU kernel. Drop-in replacement for ``nn.Conv(features, (3, 3),
+    padding="SAME")``: same param names ("kernel"/"bias"), shapes, and init
+    — instantiate with ``name="Conv_0"`` to keep the param tree (and torch
+    weight import + existing checkpoints) byte-identical.
+
+    out_dtype: dtype of the returned activation (defaults to ``dtype``);
+    set jnp.float32 for f32-pinned heads."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    out_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        odt = self.out_dtype or self.dtype
+        if use_pallas_conv(None, x.shape[1], x.shape[2], cin, self.features):
+            from video_super_resolution_tpu.ops.pallas.fused_conv import (
+                fused_conv3x3,
+            )
+            from video_super_resolution_tpu.ops.pallas.util import should_interpret
+
+            # slope=1.0 makes the in-kernel LReLU epilogue the identity
+            out = fused_conv3x3(
+                x.astype(self.dtype), kern.astype(self.dtype),
+                bias.astype(jnp.float32).astype(self.dtype), 1.0, False,
+                should_interpret(),
+            )
+            return out.astype(odt)
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kern.astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return (out.astype(jnp.float32) + bias[None, None, None, :]).astype(odt)
+
+
+class SmallOutConv(nn.Module):
+    """3x3 SAME conv with a tiny output-channel count (cout <= 4), executed
+    as channel contraction + 9 shifted adds.
+
+    A small-cout conv is pathological on the MXU — with cout=1 127/128
+    output lanes idle (measured 0.3 TF/s; models/fusion.Score1's original
+    motivation). Reordering gives identical math: contract channels with a
+    (Cin, 9*cout) matmul (tap t = dy*3+dx on the minor axis, cout-major),
+    then sum the 9 taps as shifted slices in f32. Param tree matches
+    ``nn.Conv(cout, (3, 3), padding="SAME")`` — instantiate with
+    ``name="Conv_0"`` for drop-in compatibility. Output is f32.
+    """
+
+    features: int                       # cout
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, f = x.shape
+        co = self.features
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (3, 3, f, co), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (co,), jnp.float32)
+        # (3,3,F,co) -> (F, co*9) with tap index dy*3+dx minor, cout major
+        k9 = kern.transpose(2, 3, 0, 1).reshape(f, co * 9)
+        u = jax.lax.dot_general(
+            x.reshape(b * h * w, f).astype(self.dtype), k9.astype(self.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).reshape(b, h, w, co, 9)
+        up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+        out = bias[None, None, None, :]
+        for dy in range(3):
+            for dx in range(3):
+                out = out + up[:, dy:dy + h, dx:dx + w, :, dy * 3 + dx]
+        return out                                           # (B,H,W,co) f32
+
+
 class ResBlock(nn.Module):
     """conv-lrelu-conv + identity skip (no BN — SR convention).
 
@@ -103,8 +223,7 @@ class ResBlock(nn.Module):
         mid = 2 * self.features if self.wide else self.features
         h = ConvLReLU(mid, slope=self.slope, dtype=self.dtype,
                       use_pallas=self.use_pallas)(x)
-        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
-                    param_dtype=jnp.float32)(h)
+        h = RoutedConv(self.features, dtype=self.dtype, name="Conv_0")(h)
         return x + h
 
 

@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from video_super_resolution_tpu.models.common import ConvLReLU
+from video_super_resolution_tpu.models.common import ConvLReLU, SmallOutConv
 from video_super_resolution_tpu.ops.resize import resize_bilinear
 
 
@@ -62,6 +62,7 @@ class DepthNet(nn.Module):
             h = jnp.concatenate([h, skip], axis=-1)
             h = ConvLReLU(skip.shape[-1], slope=self.slope, dtype=self.dtype,
                           use_pallas=self.use_pallas)(h)
-        depth = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
-                        param_dtype=jnp.float32)(h.astype(jnp.float32))
+        # cout=1 conv idles 127/128 MXU lanes -> contraction formulation
+        depth = SmallOutConv(1, dtype=jnp.float32,
+                             name="Conv_0")(h.astype(jnp.float32))
         return nn.softplus(depth)[..., :, :w_in, :]

@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from video_super_resolution_tpu.models.common import ConvLReLU, lrelu
+from video_super_resolution_tpu.models.common import ConvLReLU, SmallOutConv, lrelu
 from video_super_resolution_tpu.models.feature_pyramid import FeaturePyramid
 from video_super_resolution_tpu.ops.correlation import correlation
 from video_super_resolution_tpu.ops.resize import resize_bilinear
@@ -47,8 +47,10 @@ class DenseFlowEstimator(nn.Module):
             out = ConvLReLU(c, slope=self.slope, dtype=self.dtype,
                             use_pallas=self.use_pallas)(feats)
             feats = jnp.concatenate([feats, out], axis=-1)
-        flow = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32,
-                       param_dtype=jnp.float32)(feats.astype(jnp.float32))
+        # cout=2 convs idle 126/128 MXU lanes; the contraction formulation
+        # (models/common.SmallOutConv) keeps the flow residual f32-pinned
+        flow = SmallOutConv(2, dtype=jnp.float32,
+                            name="Conv_0")(feats.astype(jnp.float32))
         return feats, flow
 
 
@@ -65,8 +67,8 @@ class ContextNetwork(nn.Module):
         h = jnp.concatenate([feat.astype(self.dtype), flow.astype(self.dtype)], -1)
         for c, d in zip(self.channels, self.dilations):
             h = ConvLReLU(c, dilation=d, slope=self.slope, dtype=self.dtype)(h)
-        return nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32,
-                       param_dtype=jnp.float32)(h.astype(jnp.float32))
+        return SmallOutConv(2, dtype=jnp.float32,
+                            name="Conv_0")(h.astype(jnp.float32))
 
 
 class FlowNet(nn.Module):

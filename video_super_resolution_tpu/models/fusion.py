@@ -55,7 +55,10 @@ class ScoreConv(nn.Module):
                           jnp.float32)
 
         def conv(x, k):
-            if self.use_pallas:
+            from video_super_resolution_tpu.models.common import use_pallas_conv
+
+            if self.use_pallas or use_pallas_conv(
+                    None, x.shape[1], x.shape[2], x.shape[-1], k.shape[-1]):
                 from video_super_resolution_tpu.ops.pallas.fused_conv import (
                     fused_conv3x3,
                 )

@@ -13,7 +13,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from video_super_resolution_tpu.models.common import ConvLReLU, ResBlock, lrelu
+from video_super_resolution_tpu.models.common import (
+    ConvLReLU,
+    ResBlock,
+    RoutedConv,
+    lrelu,
+)
 from video_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
 from video_super_resolution_tpu.ops.resize import resize_bilinear
 
@@ -54,8 +59,7 @@ class SRHead(nn.Module):
         for _ in range(self.blocks):
             h = ResBlock(self.features, slope=self.slope, dtype=dt,
                          use_pallas=self.use_pallas, wide=self.wide_blocks)(h)
-        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=dt,
-                    param_dtype=jnp.float32)(h)
+        h = RoutedConv(self.features, dtype=dt, name="Conv_0")(h)
         h = h + trunk_in                                  # global trunk skip
         if stop_stage == "sr_trunk":
             return h
@@ -64,9 +68,8 @@ class SRHead(nn.Module):
         if self.style == "espcn":
             from video_super_resolution_tpu.ops.resize import upsample_bilinear_ps
 
-            out = nn.Conv(3 * self.scale**2, (3, 3), padding="SAME",
-                          dtype=jnp.float32, param_dtype=jnp.float32,
-                          name="subpixel_conv")(h.astype(jnp.float32))
+            out = RoutedConv(3 * self.scale**2, dtype=jnp.float32,
+                             name="subpixel_conv")(h.astype(jnp.float32))
             if stop_stage == "sr_conv":
                 return out
             # bilinear skip in pre-shuffle form: add before the single
@@ -114,6 +117,9 @@ class SRHead(nn.Module):
                 h = (h.astype(jnp.float32) + bias[None, None, None, :]).astype(dt)
                 h = pixel_shuffle(h, 2)
                 h = lrelu(h, self.slope)
+        # keep the legacy auto-assigned name (nn.Conv counter would have
+        # given the two_stage head Conv_1 after the trunk-end Conv_0)
         out = nn.Conv(3, (3, 3), padding="SAME", dtype=jnp.float32,
-                      param_dtype=jnp.float32)(h.astype(jnp.float32))
+                      param_dtype=jnp.float32, name="Conv_1")(
+                          h.astype(jnp.float32))
         return out + skip

@@ -9,11 +9,16 @@ VMEM-resident row strip:
 
 - grid step = one (TH, W) row strip of one batch element; the haloed input
   strip (TH+2, Wp, Cin) streams HBM->VMEM via double-buffered async DMA
-  (major-dim slices only — Mosaic tile-alignment rules never trigger).
+  (the H dim is untiled, so row slices at any offset are legal).
 - kx in {0,1,2} slices the strip along W once per kx (one vector relayout
   each, hoisted out of the ky loop); ky slices are major-dim (free).
-- each tap is a (TH*W, Cin) x (Cin, Cout) dot with f32 accumulation; Cin
-  stays native (no 128-padding — padding doubles MXU passes for Cin=64).
+- each tap is a (TH*W, Cin) x (Cin, Cout) dot with f32 accumulation.
+- Cin is zero-padded to a multiple of 128 lanes: the current Mosaic
+  rejects HBM memref slices whose lane dim is not 128-aligned ("Slice
+  shape along dimension 3 must be aligned to tiling (128)"), and a full
+  128-lane K side is what the MXU wants anyway. Zero K rows contribute
+  nothing. TH shrinks automatically until the double-buffered strips fit
+  VMEM; cin < 32 (42x pad traffic at cin=3) routes to XLA.
 - bias + LeakyReLU fuse into the same VMEM pass before one HBM write.
 
 The reference family ran this as cuDNN conv + bias + activation (+ ATen
@@ -83,10 +88,24 @@ def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, strips, sems, *,
 def _fused_conv_fwd(x, w, b, slope, shuffle, interpret):
     bsz, h, wd, cin = x.shape
     cout = w.shape[-1]
+    # lane-align the DMA'd channel dim (see module docstring); tiny cin is
+    # all padding — not this kernel's domain.
+    cin_p = (cin + 127) // 128 * 128
+    if cin < 32:
+        return _xla_conv(x, w, b, slope, shuffle)
     th = _pick_th(h)
     # the DMA'd strip's second-minor (W) dim must be an 8-sublane multiple
     wd_p = ((wd + 2) + 7) // 8 * 8
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wd_p - wd - 1), (0, 0)))
+    # shrink the strip height until 2 slots + weights fit comfortably in
+    # VMEM (v5e: 16 MB more strictly ~14 usable; budget 10 MB for strips)
+    while th > 1 and 2 * (th + 2) * wd_p * cin_p * x.dtype.itemsize > 6 << 20:
+        th //= 2
+    if h % th:
+        return _xla_conv(x, w, b, slope, shuffle)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wd_p - wd - 1), (0, cin_p - cin)))
+    if cin_p != cin:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
+    cin = cin_p
     ny = h // th
     n_steps = bsz * ny
     out_shape = (bsz, h, wd, cout)

@@ -15,5 +15,13 @@ import jax
 def should_interpret() -> bool:
     if os.environ.get("VSR_PALLAS_INTERPRET", "") == "1":
         return True
+    # Honor an explicit jax.default_device(...) override: under it, jits
+    # lower for that device while jax.default_backend() still reports the
+    # highest-priority platform (measured on axon) — without this check,
+    # CPU-placed traces (e.g. the CPU param-init fast path) would embed
+    # compiled Mosaic calls that cannot lower for CPU.
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform not in ("tpu", "axon")
     # axon is the experimental TPU PJRT platform in this environment
     return jax.default_backend() not in ("tpu", "axon")

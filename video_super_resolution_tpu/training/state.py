@@ -62,14 +62,25 @@ def create_train_state(
 ) -> TrainState:
     """Initialize model params + optimizer. ``example_window`` defaults to a
     tiny (1, T, 32, 32, 3) zeros array (shapes don't affect param shapes)."""
-    if rng is None:
-        rng = jax.random.key(cfg.train.seed)
     policy = DTypePolicy.from_strings(cfg.train.compute_dtype, cfg.train.param_dtype)
     model = VSRModel(cfg=cfg.model, use_pallas=cfg.use_pallas,
                      dtype=policy.compute_dtype)
     if example_window is None:
         example_window = jnp.zeros((1, cfg.model.window, 32, 32, 3), jnp.float32)
-    params = jax.jit(model.init)(rng, example_window)["params"]
+    # Initialize on the host CPU backend: param init traces the full model
+    # graph, which costs ~60 s to compile on the axon TPU toolchain vs
+    # seconds on XLA-CPU (measured, tools/diag_cache.py), and threefry RNG
+    # is bit-identical across backends so init values do not change.
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        if rng is None:
+            rng = jax.random.key(cfg.train.seed)
+        else:
+            rng = jax.device_put(rng, cpu)
+        params = jax.jit(model.init)(rng, example_window)["params"]
+    default = jax.devices()[0]
+    if default.platform != "cpu":
+        params = jax.device_put(params, default)
     return TrainState.create(
         apply_fn=model.apply, params=params, tx=make_optimizer(cfg.train)
     )
