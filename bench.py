@@ -87,11 +87,27 @@ def bench_train(args, cfg, state):
         float(chained(state.params, state.opt_state, n))
     elapsed = (time.time() - t0) / reps - pull_s
     sps = n / max(elapsed, 1e-9)
+    metric = f"train_steps_per_sec_b{b}_crop{crop}"
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        try:
+            baseline = json.load(open(BASELINE_FILE)).get(metric)
+        except Exception:
+            pass
+    if args.record_baseline:
+        rec = {}
+        if os.path.exists(BASELINE_FILE):
+            try:
+                rec = json.load(open(BASELINE_FILE))
+            except Exception:
+                rec = {}
+        rec[metric] = sps
+        json.dump(rec, open(BASELINE_FILE, "w"), indent=2)
     print(json.dumps({
-        "metric": f"train_steps_per_sec_b{b}_crop{crop}",
+        "metric": metric,
         "value": round(sps, 4),
         "unit": "steps/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(sps / baseline, 4) if baseline else 1.0,
         "frames_per_s": round(sps * b, 2),
         "compile_s": round(compile_s, 1),
     }))

@@ -1,0 +1,106 @@
+"""In-process interleaved A/B of full-model variants on the chip.
+
+Cross-process comparisons through the axon tunnel drift +-20% (the same
+prefix program measured 36.7-50.7 ms across four round-3 processes), which
+is far larger than most routing deltas. This tool compiles every variant
+in ONE process and interleaves timed reps (A,B,C,A,B,C,...) so slow drift
+cancels; use it for all conv/warp routing decisions.
+
+Variants: label=conv_impl/warp_impl, e.g. xla/pallas, auto/pallas.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from video_super_resolution_tpu.runtime.cache import enable_cache
+enable_cache("/tmp/jax_cache_bench")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=int, default=540)
+    ap.add_argument("--w", type=int, default=960)
+    ap.add_argument("--n", type=int, default=8, help="scan length per chain")
+    ap.add_argument("--reps", type=int, default=6, help="interleaved rounds")
+    ap.add_argument("--variants", default="xla/pallas,auto/pallas",
+                    help="comma list of conv_impl/warp_impl")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu and jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    from video_super_resolution_tpu import VSRConfig
+    from video_super_resolution_tpu.training.state import create_train_state
+
+    rng = np.random.default_rng(0)
+    base = VSRConfig()
+    window = jnp.asarray(
+        rng.random((1, base.model.window, args.h, args.w, 3)), jnp.float32)
+
+    trivial = jax.jit(lambda x: jnp.sum(x) * 0 + 1.0)
+    z = jnp.zeros((8, 128), jnp.float32)
+    float(trivial(z))
+    t0 = time.time()
+    for _ in range(10):
+        float(trivial(z))
+    pull_s = (time.time() - t0) / 10
+    print(json.dumps({"pull_ms": round(pull_s * 1e3, 1)}), flush=True)
+
+    progs = []
+    for v in args.variants.split(","):
+        conv_impl, warp_impl = v.split("/")
+        os.environ["VSR_CONV_IMPL"] = conv_impl
+        cfg = base.replace(
+            model=dataclasses.replace(base.model, warp_impl=warp_impl))
+        state = create_train_state(cfg)
+        apply_fn = state.apply_fn
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chained(params, w0, n, apply_fn=apply_fn):
+            def body(w, _):
+                hr = apply_fn({"params": params}, w)
+                dep = jnp.mean(hr).astype(jnp.float32) * jnp.float32(1e-12)
+                return w + dep, jnp.mean(hr)
+            w, means = jax.lax.scan(body, w0, None, length=n)
+            return jnp.sum(means)
+
+        t0 = time.time()
+        s = float(chained(state.params, window, args.n))
+        cs = time.time() - t0
+        assert np.isfinite(s), v
+        float(chained(state.params, window, args.n))      # warm
+        progs.append((v, chained, state.params))
+        print(json.dumps({"variant": v, "compile_s": round(cs, 1)}),
+              flush=True)
+    os.environ.pop("VSR_CONV_IMPL", None)
+
+    times = {v: [] for v, _, _ in progs}
+    for _ in range(args.reps):
+        for v, chained, params in progs:
+            t0 = time.time()
+            float(chained(params, window, args.n))
+            times[v].append(time.time() - t0)
+    for v, ts in times.items():
+        per = (np.mean(ts) - pull_s) / args.n * 1e3
+        std = np.std(ts) / args.n * 1e3
+        print(json.dumps({
+            "variant": v, "ms_per_frame": round(float(per), 2),
+            "std_ms": round(float(std), 2),
+            "fps": round(1e3 / per, 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -73,7 +73,7 @@ def backward_warp(
             raise ValueError(f"impl={impl!r} supports only zeros padding")
         b, h, w, c = img.shape
         # packed-lane kernel: C<=8 (the model's hot frame+depth warp is
-        # C=4); larger-C feature warps use the XLA tiled formulation.
+        # C=4); larger-C feature warps use an XLA formulation.
         # Off-TPU the kernel would run in the (slow, emulated) interpreter,
         # so model-level "pallas" falls back to the numerically-equivalent
         # tiled path there; kernel tests call warp_shift_pallas directly
@@ -89,6 +89,14 @@ def backward_warp(
             )
 
             return warp_shift_pallas(img, flow, interpret=interp)
+        # Small maps: the exact XLA gather wins — its cost scales with the
+        # index-row count, and the tiled shift-select's fixed (rd+2)^2 term
+        # sweep dominates below ~128k pixels (measured in-context on chip,
+        # tools/debug_warp_ctx.py: the three pyramid-level feature warps
+        # cost 9.6 ms as tiled vs 1.1 ms as gather). Big maps flip: at
+        # (2,544,960,·) tiled ~29 ms vs gather ~36 ms in-context.
+        if impl == "pallas" and b * h * w <= (1 << 17):
+            return _warp_xla(img, flow, padding_mode)
         from video_super_resolution_tpu.ops.warp_tiled import warp_tiled
 
         return warp_tiled(img, flow)
