@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--reps", type=int, default=6, help="interleaved rounds")
     ap.add_argument("--variants", default="xla/pallas,auto/pallas",
                     help="comma list of conv_impl/warp_impl")
+    ap.add_argument("--stages", default="",
+                    help="instead of impl variants, interleave stop_stage "
+                         "prefixes of ONE config (comma list; 'full'='')")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu and jax.config.jax_platforms != "cpu":
@@ -58,31 +61,41 @@ def main():
     pull_s = (time.time() - t0) / 10
     print(json.dumps({"pull_ms": round(pull_s * 1e3, 1)}), flush=True)
 
+    if args.stages:
+        items = [("stage:" + (s or "full"), "" if s == "full" else s, None)
+                 for s in args.stages.split(",")]
+    else:
+        items = [(v, None, v) for v in args.variants.split(",")]
+
     progs = []
-    for v in args.variants.split(","):
-        conv_impl, warp_impl = v.split("/")
-        os.environ["VSR_CONV_IMPL"] = conv_impl
-        cfg = base.replace(
-            model=dataclasses.replace(base.model, warp_impl=warp_impl))
-        state = create_train_state(cfg)
+    state = None
+    for label, stage, v in items:
+        if v is not None:
+            conv_impl, warp_impl = v.split("/")
+            os.environ["VSR_CONV_IMPL"] = conv_impl
+            cfg = base.replace(
+                model=dataclasses.replace(base.model, warp_impl=warp_impl))
+            state = create_train_state(cfg)
+        elif state is None:
+            state = create_train_state(base)
         apply_fn = state.apply_fn
 
         @functools.partial(jax.jit, static_argnames=("n",))
-        def chained(params, w0, n, apply_fn=apply_fn):
+        def chained(params, w0, n, apply_fn=apply_fn, stage=stage or ""):
             def body(w, _):
-                hr = apply_fn({"params": params}, w)
-                dep = jnp.mean(hr).astype(jnp.float32) * jnp.float32(1e-12)
-                return w + dep, jnp.mean(hr)
+                out = apply_fn({"params": params}, w, stop_stage=stage)
+                dep = jnp.mean(out).astype(jnp.float32) * jnp.float32(1e-12)
+                return w + dep, jnp.mean(out)
             w, means = jax.lax.scan(body, w0, None, length=n)
             return jnp.sum(means)
 
         t0 = time.time()
         s = float(chained(state.params, window, args.n))
         cs = time.time() - t0
-        assert np.isfinite(s), v
+        assert np.isfinite(s), label
         float(chained(state.params, window, args.n))      # warm
-        progs.append((v, chained, state.params))
-        print(json.dumps({"variant": v, "compile_s": round(cs, 1)}),
+        progs.append((label, chained, state.params))
+        print(json.dumps({"variant": label, "compile_s": round(cs, 1)}),
               flush=True)
     os.environ.pop("VSR_CONV_IMPL", None)
 

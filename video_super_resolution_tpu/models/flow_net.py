@@ -91,7 +91,12 @@ class FlowNet(nn.Module):
     warp_impl: str = "tiled"
 
     @nn.compact
-    def __call__(self, ref: jax.Array, nbr: jax.Array) -> jax.Array:
+    def __call__(self, ref: jax.Array, nbr: jax.Array,
+                 stop_stage: str = "") -> jax.Array:
+        """stop_stage (profiling hook, tools/bench_model_ab.py): "" or
+        "flow:pyr" | "flow:l<level>" | "flow:nocorr" | "flow:noctx".
+        "flow:nocorr" replaces every cost volume with a zeros stand-in
+        (isolates the correlation's in-context cost; numerics are wrong)."""
         ref = ref.astype(self.dtype)
         nbr = nbr.astype(self.dtype)
         pyramid = FeaturePyramid(self.pyramid_channels, self.slope,
@@ -99,6 +104,9 @@ class FlowNet(nn.Module):
         pyr_r = pyramid(ref)
         pyr_n = pyramid(nbr)
         levels = len(pyr_r)
+        if stop_stage == "flow:pyr":
+            return jnp.stack([jnp.mean(p.astype(jnp.float32))
+                              for p in pyr_r + pyr_n])
 
         flow = None
         feat = None
@@ -113,11 +121,15 @@ class FlowNet(nn.Module):
                 flow_up = 2.0 * resize_bilinear(flow, h, w)
                 warped = backward_warp(fn, flow_up, use_pallas=self.use_pallas,
                                        impl=self.warp_impl)
-            cv = lrelu(
-                correlation(fr, warped, self.max_displacement,
-                            use_pallas=self.use_pallas),
-                self.slope,
-            ).astype(self.dtype)
+            if stop_stage == "flow:nocorr":
+                cv = jnp.zeros(fr.shape[:3] + ((2 * self.max_displacement + 1) ** 2,),
+                               self.dtype) + 1e-20 * jnp.mean(warped).astype(self.dtype)
+            else:
+                cv = lrelu(
+                    correlation(fr, warped, self.max_displacement,
+                                use_pallas=self.use_pallas),
+                    self.slope,
+                ).astype(self.dtype)
             est_in = jnp.concatenate(
                 [cv, fr, flow_up.astype(self.dtype)], axis=-1
             )
@@ -126,10 +138,14 @@ class FlowNet(nn.Module):
                 use_pallas=self.use_pallas, name=f"estimator_l{l}",
             )(est_in)
             flow = flow_up + residual
+            if stop_stage == f"flow:l{l}":
+                return flow + jnp.float32(1e-20) * jnp.mean(
+                    feat.astype(jnp.float32))
 
-        flow = flow + ContextNetwork(
-            self.context_channels, slope=self.slope, dtype=self.dtype
-        )(feat, flow)
+        if stop_stage != "flow:noctx":
+            flow = flow + ContextNetwork(
+                self.context_channels, slope=self.slope, dtype=self.dtype
+            )(feat, flow)
 
         # level `finest` is 1/2^(finest+1) resolution: upsample to full res
         # and scale the pixel displacements accordingly.

@@ -62,6 +62,7 @@ class VSRModel(nn.Module):
             b * n, h, w, 3
         )
         nbrs_flat = nbrs.reshape(b * n, h, w, 3)
+        flow_stop = stop_stage if stop_stage.startswith("flow:") else ""
         flows = FlowNet(
             pyramid_channels=cfg.pyramid_channels,
             estimator_channels=cfg.flow_estimator_channels,
@@ -73,8 +74,8 @@ class VSRModel(nn.Module):
             finest_level=cfg.flow_finest_level,
             warp_impl=cfg.warp_impl,
             name="flow_net",
-        )(ref_rep, nbrs_flat)                                          # (B*N,H,W,2)
-        if stop_stage == "flow":
+        )(ref_rep, nbrs_flat, stop_stage=flow_stop)                    # (B*N,H,W,2)
+        if stop_stage == "flow" or flow_stop:
             return flows
 
         # ---- depth for all T frames in one batched program ----
