@@ -92,11 +92,17 @@ def main():
         t0 = time.time()
         s = float(chained(state.params, window, args.n))
         cs = time.time() - t0
-        assert np.isfinite(s), label
+        if not np.isfinite(s):
+            # axon prefix-program miscompiles can NaN a graph cut that is
+            # finite inside the full program (and on CPU); timing is still
+            # valid — flag it rather than aborting the whole sweep.
+            print(json.dumps({"variant": label, "compile_s": round(cs, 1),
+                              "nonfinite": True}), flush=True)
+        else:
+            print(json.dumps({"variant": label, "compile_s": round(cs, 1)}),
+                  flush=True)
         float(chained(state.params, window, args.n))      # warm
         progs.append((label, chained, state.params))
-        print(json.dumps({"variant": label, "compile_s": round(cs, 1)}),
-              flush=True)
     os.environ.pop("VSR_CONV_IMPL", None)
 
     times = {v: [] for v, _, _ in progs}

@@ -115,6 +115,8 @@ def run_variant(name, cfg, clips, steps, log_every=200):
 
 VARIANTS = {
     "tpu_defaults": {},
+    "espcn_mid4x": {"sr_espcn_mid": 96},      # 4x sr_channels at toy scale
+    "espcn_mid2x": {"sr_espcn_mid": 48},
     "warp_features": {"warp_features": True},
     "two_stage_head": {"sr_head_style": "two_stage"},
     "depth_full_res": {"depth_at_half_res": False},

@@ -55,6 +55,10 @@ class ModelConfig:
     # conv at LR. "two_stage": conv→ps2→lrelu twice + 3ch conv at full res
     # (the torch-reference-era layout).
     sr_head_style: str = "espcn"
+    # espcn-only: width of an extra ConvLReLU inserted at LR before the
+    # subpixel conv (0 = off). Closes the espcn head's capacity gap vs
+    # two_stage while keeping every conv at LR (tools/quality_ab.py).
+    sr_espcn_mid: int = 0
     # run the depth hourglass on 1/2-res frames and upsample its output x2:
     # depth is a smooth fusion guide; halves the second-biggest conv cost
     depth_at_half_res: bool = True

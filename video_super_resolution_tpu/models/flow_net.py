@@ -124,6 +124,14 @@ class FlowNet(nn.Module):
             if stop_stage == "flow:nocorr":
                 cv = jnp.zeros(fr.shape[:3] + ((2 * self.max_displacement + 1) ** 2,),
                                self.dtype) + 1e-20 * jnp.mean(warped).astype(self.dtype)
+            elif stop_stage == "flow:cheapcorr":
+                # nonconstant 81-ch stand-in at ~zero cost: discriminates
+                # "the corr sweep is slow" from "nocorr's zeros let XLA
+                # constant-fold channels out of every estimator conv"
+                k81 = (2 * self.max_displacement + 1) ** 2
+                cv = jnp.repeat(
+                    jnp.sum(fr * warped, axis=-1, keepdims=True)
+                    .astype(self.dtype), k81, axis=-1)
             else:
                 cv = lrelu(
                     correlation(fr, warped, self.max_displacement,
@@ -139,8 +147,12 @@ class FlowNet(nn.Module):
             )(est_in)
             flow = flow_up + residual
             if stop_stage == f"flow:l{l}":
-                return flow + jnp.float32(1e-20) * jnp.mean(
-                    feat.astype(jnp.float32))
+                # barrier: a mid-graph cut changes XLA's fusion choices and
+                # has produced axon miscompiles (NaN) in prefix programs;
+                # decoupling the return from producer fusions avoids it
+                return jax.lax.optimization_barrier(
+                    flow + jnp.float32(1e-20) * jnp.mean(
+                        feat.astype(jnp.float32)))
 
         if stop_stage != "flow:noctx":
             flow = flow + ContextNetwork(

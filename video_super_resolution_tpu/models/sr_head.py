@@ -41,6 +41,7 @@ class SRHead(nn.Module):
     slope: float = 0.1
     wide_blocks: bool = True
     style: str = "espcn"
+    espcn_mid: int = 0
     use_pallas: bool = False
     dtype: Any = jnp.float32
 
@@ -68,6 +69,9 @@ class SRHead(nn.Module):
         if self.style == "espcn":
             from video_super_resolution_tpu.ops.resize import upsample_bilinear_ps
 
+            if self.espcn_mid:
+                h = ConvLReLU(self.espcn_mid, slope=self.slope, dtype=dt,
+                              name="espcn_mid")(h)
             out = RoutedConv(3 * self.scale**2, dtype=jnp.float32,
                              name="subpixel_conv")(h.astype(jnp.float32))
             if stop_stage == "sr_conv":

@@ -158,7 +158,7 @@ class VSRModel(nn.Module):
         hr = SRHead(
             features=cfg.sr_channels, blocks=cfg.sr_blocks, scale=cfg.scale,
             slope=cfg.lrelu_slope, style=cfg.sr_head_style,
-            wide_blocks=cfg.sr_wide_blocks,
+            wide_blocks=cfg.sr_wide_blocks, espcn_mid=cfg.sr_espcn_mid,
             dtype=self.dtype, use_pallas=self.use_pallas, name="sr_head",
         )(fused, ref_c, stop_stage=stop_stage)
 

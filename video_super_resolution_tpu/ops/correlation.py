@@ -26,6 +26,7 @@ gather and no dynamic shape anywhere.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,11 +52,21 @@ def correlation(
     """
     if f1.shape != f2.shape:
         raise ValueError(f"shape mismatch: {f1.shape} vs {f2.shape}")
-    if use_pallas:
+    from video_super_resolution_tpu.ops.pallas.util import should_interpret
+
+    # On-chip, the Pallas kernel is the production path even when the
+    # caller does not force it: the XLA window sweep measures ~0.4 ms
+    # standalone but ~16 ms inside the composed flow program (round-3
+    # in-context bisect, tools/bench_model_ab.py --stages flow:cheapcorr —
+    # XLA compiles the 81-slice sweep pathologically in context), while
+    # the opaque custom call keeps its standalone cost. The kernel
+    # self-falls-back to XLA for shapes it does not cover (H % 8, VMEM
+    # budget). Off-TPU stays XLA so tests never run the interpreter.
+    impl = os.environ.get("VSR_CORR_IMPL", "auto")
+    if use_pallas or (impl != "xla" and not should_interpret()):
         from video_super_resolution_tpu.ops.pallas.correlation_tpu import (
             correlation_pallas,
         )
-        from video_super_resolution_tpu.ops.pallas.util import should_interpret
 
         return correlation_pallas(f1, f2, max_displacement, should_interpret())
     return _correlation_xla(f1, f2, max_displacement)
@@ -63,6 +74,14 @@ def correlation(
 
 def _correlation_xla(f1: jax.Array, f2: jax.Array, d: int) -> jax.Array:
     b, h, w, c = f1.shape
+    # Materialize both inputs first: the window sweep below reads each one
+    # (2d+1)^2 = 81 times, and without the barrier XLA fuses the producers
+    # (the level's backward-warp gather / pyramid conv) into every consumer
+    # — measured in-context on chip: the flow stage's correlations cost
+    # ~16 ms total vs ~1 ms expected, i.e. the warp was recomputed 81x
+    # (tools/bench_model_ab.py --stages flow:nocorr bisect, round 3).
+    # optimization_barrier is an exact identity, so numerics are unchanged.
+    f1, f2 = jax.lax.optimization_barrier((f1, f2))
     f2p = jnp.pad(f2, ((0, 0), (d, d), (d, d), (0, 0)))
     # Accumulate in f32 regardless of input dtype (parity: SURVEY.md §7.2-3).
     f1 = f1.astype(jnp.float32)

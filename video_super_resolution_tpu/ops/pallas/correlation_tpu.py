@@ -64,15 +64,19 @@ def _correlation_fwd_pallas(f1: jax.Array, f2: jax.Array, d: int,
                             interpret: bool = False) -> jax.Array:
     b, h, w, c = f1.shape
     k = (2 * d + 1) ** 2
-    if h % 8 and not interpret:
-        # Mosaic blocks need an 8-row tile; coarse pyramid levels (H < 8 or
-        # odd) are tiny — the XLA path is already fine there.
-        from video_super_resolution_tpu.ops.correlation import _correlation_xla
-
-        return _correlation_xla(f1, f2, d)
+    if h % 8:
+        # Mosaic blocks need an 8-row tile. Zero-padding H is EXACT here:
+        # out-of-range f2 samples contribute 0 by the zeros-boundary
+        # semantics, padded f1 rows only produce extra output rows that
+        # are cropped. (Round 3: the earlier XLA fallback for H%8 left the
+        # L2-L4 pyramid correlations on the in-context-pathological XLA
+        # sweep — see ops/correlation.py.)
+        hp8 = _round_up(h, 8)
+        pad = ((0, 0), (0, hp8 - h), (0, 0), (0, 0))
+        out = _correlation_fwd_pallas(jnp.pad(f1, pad), jnp.pad(f2, pad), d,
+                                      interpret)
+        return out[:, :h]
     th = 8
-    while h % th and th > 1:
-        th //= 2
 
     wp = _round_up(w, 128)
     wp2 = _round_up(wp + 2 * d, 128)
