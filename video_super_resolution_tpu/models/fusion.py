@@ -136,6 +136,8 @@ class DepthGuidedFusion(nn.Module):
         warped_feats: jax.Array,   # (B, N, H, W, F) neighbors warped onto ref
         ref_depth: jax.Array,      # (B, H, W, 1)
         warped_depths: jax.Array,  # (B, N, H, W, 1)
+        stop_stage: str = "",      # "" | "fusion:score" | "fusion:score1"
+                                   # | "fusion:agg" (profiling hooks)
     ) -> jax.Array:
         b, n, h, w, f = warped_feats.shape
         dt = self.dtype
@@ -159,13 +161,19 @@ class DepthGuidedFusion(nn.Module):
         s = ScoreConv(self.features, slope=self.slope, dtype=dt,
                       use_pallas=self.use_pallas)(ref_in, nbr_in)
         s = jnp.where(s >= 0, s, self.slope * s).astype(dt)
+        if stop_stage == "fusion:score":
+            return s
         s = Score1(self.features, dtype=dt)(
             s.reshape(b * n, h, w, self.features))
         scores = s.reshape(b, n, h, w, 1)
+        if stop_stage == "fusion:score1":
+            return scores
         weights = jax.nn.softmax(scores, axis=1)                      # over neighbors
 
         agg = jnp.sum(weights.astype(jnp.float32)
                       * warped_feats.astype(jnp.float32), axis=1)     # (B,H,W,F)
+        if stop_stage == "fusion:agg":
+            return agg
 
         fused_in = jnp.concatenate(
             [ref_feat, agg.astype(dt), ref_depth32.astype(dt)], axis=-1

@@ -148,8 +148,9 @@ class VSRModel(nn.Module):
         fused = DepthGuidedFusion(
             features=cfg.fusion_channels, slope=cfg.lrelu_slope,
             dtype=self.dtype, use_pallas=self.use_pallas, name="fusion",
-        )(ref_feat, warped_feats, ref_depth, warped_depths)
-        if stop_stage == "fusion":
+        )(ref_feat, warped_feats, ref_depth, warped_depths,
+          stop_stage=stop_stage if stop_stage.startswith("fusion:") else "")
+        if stop_stage == "fusion" or stop_stage.startswith("fusion:"):
             return fused
 
         # crop padding off before the SR head so HR output is exactly 4x input

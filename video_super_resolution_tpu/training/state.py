@@ -78,7 +78,11 @@ def create_train_state(
         else:
             rng = jax.device_put(rng, cpu)
         params = jax.jit(model.init)(rng, example_window)["params"]
-    default = jax.devices()[0]
+    # local_devices, not devices: in a multi-process run devices()[0] is a
+    # GLOBAL device (possibly another process's) and device_put to it goes
+    # through a cross-process consistency all-gather (measured: Gloo
+    # timeout in test_multiprocess_resume when this said jax.devices()).
+    default = jax.local_devices()[0]
     if default.platform != "cpu":
         params = jax.device_put(params, default)
     return TrainState.create(
