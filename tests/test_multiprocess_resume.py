@@ -41,6 +41,10 @@ def _run_pair(port, ckpt_dir, steps, die_at=0, survivor_timeout=120):
         # worker 0 then blocks in the next step's collective — kill it by
         # exact PID once worker 1 is gone.
         out1, _ = procs[1].communicate(timeout=survivor_timeout)
+        if procs[1].returncode not in (17,) and _is_coord_flake(out1):
+            for q in procs:
+                q.kill()
+            raise _CoordFlake(out1[-500:])
         assert procs[1].returncode == 17, out1[-3000:]
         try:
             out0, _ = procs[0].communicate(timeout=30)
@@ -50,6 +54,15 @@ def _run_pair(port, ckpt_dir, steps, die_at=0, survivor_timeout=120):
         return None
     for i, p in enumerate(procs):
         out, _ = p.communicate(timeout=560)
+        if p.returncode != 0 and _is_coord_flake(out):
+            # Gloo/coordination-service init has a fixed 30 s deadline; on
+            # this 2-core host a loaded machine (e.g. the suite running
+            # next to a chip benchmark) can blow it spuriously. Retry the
+            # pair once on a quiet-er moment rather than failing the
+            # fault-injection test on scheduler noise.
+            for q in procs:
+                q.kill()
+            raise _CoordFlake(out[-500:])
         assert p.returncode == 0, out[-3000:]
         line = [ln for ln in out.splitlines() if ln.startswith("TRAINW ")]
         assert line, out[-3000:]
@@ -57,11 +70,30 @@ def _run_pair(port, ckpt_dir, steps, die_at=0, survivor_timeout=120):
     return outs
 
 
+class _CoordFlake(Exception):
+    pass
+
+
+def _is_coord_flake(out: str) -> bool:
+    return ("DEADLINE_EXCEEDED" in out and "Gloo" in out) or (
+        "Shutdown barrier has failed" in out)
+
+
+def _run_pair_retry(port_factory, ckpt_dir, steps, die_at=0, **kw):
+    try:
+        return _run_pair(port_factory(), ckpt_dir, steps, die_at, **kw)
+    except _CoordFlake:
+        import time
+
+        time.sleep(5)
+        return _run_pair(port_factory(), ckpt_dir, steps, die_at, **kw)
+
+
 def test_multiprocess_kill_resume(tmp_path):
     steps, die_at = 4, 2
 
     # 1) uninterrupted reference run
-    ref = _run_pair(_free_port(), tmp_path / "ref", steps)
+    ref = _run_pair_retry(_free_port, tmp_path / "ref", steps)
     assert ref[0]["losses"] == ref[1]["losses"]
     assert ref[0]["final_step"] == steps
     ref_losses = ref[0]["losses"]
@@ -70,11 +102,11 @@ def test_multiprocess_kill_resume(tmp_path):
 
     # 2) crash run: worker 1 dies right after the step-2 checkpoint
     crash_dir = tmp_path / "crash"
-    _run_pair(_free_port(), crash_dir, steps, die_at=die_at)
+    _run_pair_retry(_free_port, crash_dir, steps, die_at=die_at)
 
     # 3) relaunch on the same checkpoint dir: must restore step 2 and
     #    reproduce the reference losses for the remaining steps exactly
-    res = _run_pair(_free_port(), crash_dir, steps)
+    res = _run_pair_retry(_free_port, crash_dir, steps)
     for r in res:
         assert r["start"] == die_at, r
         assert r["final_step"] == steps
