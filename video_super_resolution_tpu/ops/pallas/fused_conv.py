@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +48,7 @@ def _pick_th(h: int, target: int = 8) -> int:
 
 
 def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, strips, sems, *,
-                 th, w, cin, cout, slope, ny, n_steps):
+                 th, w, cin, cout, slope, ny, n_steps, kpair):
     t = pl.program_id(0)
 
     def get_dma(slot, tt):
@@ -70,16 +71,35 @@ def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, strips, sems, *,
     get_dma(t % 2, t).wait()
 
     strip = strips[t % 2]                                   # (TH+2, Wp, Cin)
-    wk = w_ref[...].astype(jnp.float32)                     # (3, 3, Cin, Cout)
+    wk = w_ref[...].astype(jnp.float32)                     # (3|2, 3, Cin, Cout)
     acc = jnp.zeros((th * w, cout), jnp.float32)
-    for kx in range(3):
-        a_kx = jax.lax.slice_in_dim(strip[...], kx, kx + w, axis=1)
-        for ky in range(3):
-            a = jax.lax.slice_in_dim(a_kx, ky, ky + th, axis=0)
-            acc += jnp.dot(
-                a.reshape(th * w, cin), wk[ky, kx],
-                preferred_element_type=jnp.float32,
-            )
+    if kpair:
+        # cin was exactly 64 pre-pad and the caller built the ROW-PAIRED
+        # input layout: lane block = [row r ch | row r+1 ch] (the 128-lane
+        # pad bytes carry real data instead of zeros, same DMA size). Each
+        # MXU pass then contracts two vertical taps over a dense K=128 —
+        # 6 passes carry the 9-tap conv (75% K utilization vs 50%). wk[0]
+        # holds the host-packed (ky0|ky1) pair weights; wk[1] is the ky=2
+        # single whose UPPER half is zero, so the pair row's extra
+        # channels contribute nothing and no lane slicing is needed.
+        sv = strip[...]
+        for kx in range(3):
+            s_kx = jax.lax.slice_in_dim(sv, kx, kx + w, axis=1)
+            a = jax.lax.slice_in_dim(s_kx, 0, th, axis=0)
+            acc += jnp.dot(a.reshape(th * w, cin), wk[0, kx],
+                           preferred_element_type=jnp.float32)
+            s2 = jax.lax.slice_in_dim(s_kx, 2, 2 + th, axis=0)
+            acc += jnp.dot(s2.reshape(th * w, cin), wk[1, kx],
+                           preferred_element_type=jnp.float32)
+    else:
+        for kx in range(3):
+            a_kx = jax.lax.slice_in_dim(strip[...], kx, kx + w, axis=1)
+            for ky in range(3):
+                a = jax.lax.slice_in_dim(a_kx, ky, ky + th, axis=0)
+                acc += jnp.dot(
+                    a.reshape(th * w, cin), wk[ky, kx],
+                    preferred_element_type=jnp.float32,
+                )
     acc += b_ref[...].astype(jnp.float32)[None, :]
     acc = jnp.where(acc >= 0, acc, slope * acc)
     out_ref[0] = acc.reshape(th, w, cout).astype(out_ref.dtype)
@@ -102,9 +122,27 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret):
         th //= 2
     if h % th:
         return _xla_conv(x, w, b, slope, shuffle)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wd_p - wd - 1), (0, cin_p - cin)))
-    if cin_p != cin:
+    # ky-pair K-packing (VSR_CONV_KPAIR gate while being validated): for
+    # cin == 64 the padded K=128 is half zeros; pack taps (ky=0, ky=1) of
+    # adjacent rows into one dense K=128 matmul + a single ky=2 tap — 6
+    # MXU passes instead of 9. The pad bytes of the HBM input carry the
+    # next row's channels (row-paired layout, built here with one concat —
+    # DMA size unchanged); weights pre-packed to (2, 3, 128, cout):
+    # [0]=pair (ky0|ky1), [1]=ky2 with a zero upper half.
+    kpair = cin == 64 and os.environ.get("VSR_CONV_KPAIR", "0") == "1"
+    if kpair:
+        xb = jnp.pad(x, ((0, 0), (1, 2), (1, wd_p - wd - 1), (0, 0)))
+        xp = jnp.concatenate([xb[:, :-1], xb[:, 1:]], axis=-1)
         w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
+        w = jnp.stack([
+            jnp.concatenate([w[0, :, :64], w[1, :, :64]], axis=1),
+            w[2],
+        ])                                                  # (2, 3, 128, Cout)
+    else:
+        xp = jnp.pad(x,
+                     ((0, 0), (1, 1), (1, wd_p - wd - 1), (0, cin_p - cin)))
+        if cin_p != cin:
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
     cin = cin_p
     ny = h // th
     n_steps = bsz * ny
@@ -112,7 +150,7 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret):
     out = pl.pallas_call(
         functools.partial(
             _conv_kernel, th=th, w=wd, cin=cin, cout=cout, slope=slope,
-            ny=ny, n_steps=n_steps,
+            ny=ny, n_steps=n_steps, kpair=kpair,
         ),
         grid=(n_steps,),
         in_specs=[
