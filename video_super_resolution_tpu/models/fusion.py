@@ -23,6 +23,7 @@ variance.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -79,6 +80,13 @@ class ScoreConv(nn.Module):
         s_ref = conv(ref_in, kern[:, :, :cr])                 # (B,H,W,F)
         s_nbr = conv(nbr_in.reshape(b * n, h, w, cn),
                      kern[:, :, cr:]).reshape(b, n, h, w, self.features)
+        if os.environ.get("VSR_SCORE_BF16", "0") == "1":
+            # experimental: the f32 broadcast-add chain moves ~0.8 GB at
+            # full res; scores only feed a 2-way softmax, so dt-precision
+            # adds are a candidate. Gated until quality-A/B'd.
+            return (s_ref[:, None].astype(dt) + s_nbr.astype(dt)
+                    + bias[None, None, None, None, :].astype(dt)
+                    ).astype(jnp.float32)
         return (s_ref[:, None].astype(jnp.float32)
                 + s_nbr.astype(jnp.float32)
                 + bias[None, None, None, None, :])
