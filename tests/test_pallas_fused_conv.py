@@ -57,3 +57,28 @@ def test_fused_conv_bf16(rng):
     got = np.asarray(fused_conv3x3(x, w, b, 0.1, False, True).astype(jnp.float32))
     want = np.asarray(_xla_conv(x, w, b, 0.1, False).astype(jnp.float32))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_conv_cin_pad_alignment(rng):
+    """cin not a multiple of 128 pads K with zeros (exact)."""
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 35)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 35, 16)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((16,)), jnp.float32)
+    got = np.asarray(fused_conv3x3(x, w, b, 0.1, False, True))
+    want = np.asarray(_xla_conv(x, w, b, 0.1, False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_conv_kpair_path(rng, monkeypatch):
+    """ky-pair K-packed variant (flag-gated): fwd + grad parity."""
+    monkeypatch.setenv("VSR_CONV_KPAIR", "1")
+    x = jnp.asarray(rng.standard_normal((2, 8, 24, 64)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 64, 32)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((32,)), jnp.float32)
+    got = np.asarray(fused_conv3x3(x, w, b, 0.1, False, True))
+    want = np.asarray(_xla_conv(x, w, b, 0.1, False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    gp = jax.grad(lambda a: jnp.sum(fused_conv3x3(a, w, b, 0.1, False, True) ** 2))(x)
+    gx = jax.grad(lambda a: jnp.sum(_xla_conv(a, w, b, 0.1, False) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-4, atol=1e-4)
