@@ -82,3 +82,19 @@ def test_fused_conv_kpair_path(rng, monkeypatch):
     gx = jax.grad(lambda a: jnp.sum(_xla_conv(a, w, b, 0.1, False) ** 2))(x)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_conv_dilated(rng):
+    """Dilated taps (context-net convs): fwd + grad parity for d in 1..8."""
+    x = jnp.asarray(rng.standard_normal((1, 16, 24, 64)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 64, 16)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((16,)), jnp.float32)
+    for d in (2, 4, 8):
+        got = np.asarray(fused_conv3x3(x, w, b, 0.1, False, True, d))
+        want = np.asarray(_xla_conv(x, w, b, 0.1, False, d))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        gp = jax.grad(lambda a: jnp.sum(
+            fused_conv3x3(a, w, b, 0.1, False, True, d) ** 2))(x)
+        gx = jax.grad(lambda a: jnp.sum(_xla_conv(a, w, b, 0.1, False, d) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-4)

@@ -87,12 +87,16 @@ class ConvLReLU(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        # dilated kernel support exists (d<=8) but measured neutral vs XLA
+        # in-context (flow 18.6->18.9ms with ctx convs routed), so AUTO
+        # routing keeps d==1 only; explicit use_pallas opts dilated in.
         routable = (self.kernel == 3 and self.strides == 1
-                    and self.dilation == 1)
+                    and self.dilation <= 8)
         fast = routable and (
             self.use_pallas
-            or use_pallas_conv(None, x.shape[1], x.shape[2], cin,
-                               self.features)
+            or (self.dilation == 1
+                and use_pallas_conv(None, x.shape[1], x.shape[2], cin,
+                                    self.features))
         )
         if fast:
             from video_super_resolution_tpu.ops.pallas.fused_conv import (
@@ -103,7 +107,7 @@ class ConvLReLU(nn.Module):
             x = x.astype(self.dtype)
             return fused_conv3x3(
                 x, kern.astype(self.dtype), bias.astype(self.dtype),
-                self.slope, False, should_interpret(),
+                self.slope, False, should_interpret(), self.dilation,
             )
         # Explicit symmetric padding = torch Conv2d(padding=k//2) semantics.
         # XLA "SAME" pads asymmetrically for stride 2 (lo=0, hi=1 on even

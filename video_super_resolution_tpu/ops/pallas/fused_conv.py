@@ -48,14 +48,14 @@ def _pick_th(h: int, target: int = 8) -> int:
 
 
 def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, strips, sems, *,
-                 th, w, cin, cout, slope, ny, n_steps, kpair):
+                 th, w, cin, cout, slope, ny, n_steps, kpair, d=1):
     t = pl.program_id(0)
 
     def get_dma(slot, tt):
         bi = tt // ny
         hi = tt % ny
         return pltpu.make_async_copy(
-            xp_ref.at[bi, pl.ds(hi * th, th + 2)],
+            xp_ref.at[bi, pl.ds(hi * th, th + 2 * d)],
             strips.at[slot],
             sems.at[slot],
         )
@@ -93,9 +93,10 @@ def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, strips, sems, *,
                            preferred_element_type=jnp.float32)
     else:
         for kx in range(3):
-            a_kx = jax.lax.slice_in_dim(strip[...], kx, kx + w, axis=1)
+            a_kx = jax.lax.slice_in_dim(strip[...], kx * d, kx * d + w,
+                                        axis=1)
             for ky in range(3):
-                a = jax.lax.slice_in_dim(a_kx, ky, ky + th, axis=0)
+                a = jax.lax.slice_in_dim(a_kx, ky * d, ky * d + th, axis=0)
                 acc += jnp.dot(
                     a.reshape(th * w, cin), wk[ky, kx],
                     preferred_element_type=jnp.float32,
@@ -105,23 +106,28 @@ def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, strips, sems, *,
     out_ref[0] = acc.reshape(th, w, cout).astype(out_ref.dtype)
 
 
-def _fused_conv_fwd(x, w, b, slope, shuffle, interpret):
+def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1):
     bsz, h, wd, cin = x.shape
     cout = w.shape[-1]
     # lane-align the DMA'd channel dim (see module docstring); tiny cin is
     # all padding — not this kernel's domain.
     cin_p = (cin + 127) // 128 * 128
     if cin < 32:
-        return _xla_conv(x, w, b, slope, shuffle)
-    th = _pick_th(h)
+        return _xla_conv(x, w, b, slope, shuffle, d)
+    # strip height: 8 measured best vs 4/16 at the trunk shape (th sweep,
+    # BENCH_KERNELS_r3.md); env knobs exist for re-tuning on new platforms
+    th = _pick_th(h, int(os.environ.get("VSR_CONV_TH", "8")))
     # the DMA'd strip's second-minor (W) dim must be an 8-sublane multiple
-    wd_p = ((wd + 2) + 7) // 8 * 8
+    # (dilated taps widen the halo to d each side)
+    wd_p = ((wd + 2 * d) + 7) // 8 * 8
     # shrink the strip height until 2 slots + weights fit comfortably in
-    # VMEM (v5e: 16 MB more strictly ~14 usable; budget 10 MB for strips)
-    while th > 1 and 2 * (th + 2) * wd_p * cin_p * x.dtype.itemsize > 6 << 20:
+    # VMEM (v5e: 16 MB more strictly ~14 usable)
+    budget_mb = int(os.environ.get("VSR_CONV_VMEM_MB", "6"))
+    while th > 1 and (2 * (th + 2 * d) * wd_p * cin_p * x.dtype.itemsize
+                      > budget_mb << 20):
         th //= 2
     if h % th:
-        return _xla_conv(x, w, b, slope, shuffle)
+        return _xla_conv(x, w, b, slope, shuffle, d)
     # ky-pair K-packing (VSR_CONV_KPAIR gate while being validated): for
     # cin == 64 the padded K=128 is half zeros; pack taps (ky=0, ky=1) of
     # adjacent rows into one dense K=128 matmul + a single ky=2 tap — 6
@@ -129,7 +135,8 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret):
     # next row's channels (row-paired layout, built here with one concat —
     # DMA size unchanged); weights pre-packed to (2, 3, 128, cout):
     # [0]=pair (ky0|ky1), [1]=ky2 with a zero upper half.
-    kpair = cin == 64 and os.environ.get("VSR_CONV_KPAIR", "0") == "1"
+    kpair = (cin == 64 and d == 1
+             and os.environ.get("VSR_CONV_KPAIR", "0") == "1")
     if kpair:
         xb = jnp.pad(x, ((0, 0), (1, 2), (1, wd_p - wd - 1), (0, 0)))
         xp = jnp.concatenate([xb[:, :-1], xb[:, 1:]], axis=-1)
@@ -139,8 +146,8 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret):
             w[2],
         ])                                                  # (2, 3, 128, Cout)
     else:
-        xp = jnp.pad(x,
-                     ((0, 0), (1, 1), (1, wd_p - wd - 1), (0, cin_p - cin)))
+        xp = jnp.pad(
+            x, ((0, 0), (d, d), (d, wd_p - wd - d), (0, cin_p - cin)))
         if cin_p != cin:
             w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
     cin = cin_p
@@ -150,7 +157,7 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret):
     out = pl.pallas_call(
         functools.partial(
             _conv_kernel, th=th, w=wd, cin=cin, cout=cout, slope=slope,
-            ny=ny, n_steps=n_steps, kpair=kpair,
+            ny=ny, n_steps=n_steps, kpair=kpair, d=d,
         ),
         grid=(n_steps,),
         in_specs=[
@@ -165,7 +172,8 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, wd_p, cin), x.dtype),
+            pltpu.VMEM((2, th + 2 * (1 if kpair else d), wd_p, cin),
+                       x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -187,9 +195,9 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret):
     return out
 
 
-def _xla_conv(x, w, b, slope, shuffle):
+def _xla_conv(x, w, b, slope, shuffle, d=1):
     out = jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME",
+        x, w, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
@@ -202,28 +210,32 @@ def _xla_conv(x, w, b, slope, shuffle):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_conv3x3(x: jax.Array, w: jax.Array, b: jax.Array,
                   slope: float = 0.1, shuffle: bool = False,
-                  interpret: bool = False) -> jax.Array:
+                  interpret: bool = False, dilation: int = 1) -> jax.Array:
     """3x3 SAME conv + bias + LReLU (+ optional pixel-shuffle r=2 epilogue).
 
     x: (B, H, W, Cin); w: (3, 3, Cin, Cout) HWIO; b: (Cout,).
     shuffle=True additionally rearranges to (B, 2H, 2W, Cout/4).
+    dilation: tap spacing (SAME padding = dilation), for the dilated
+    context-net convs; the VMEM budget shrinks TH as the halo grows.
     Intended domain: Cin >= 16 and Cout <= 128 (the hot trunk shapes);
     callers route other shapes to XLA.
     """
-    return _fused_conv_fwd(x, w, b, slope, shuffle, interpret)
+    return _fused_conv_fwd(x, w, b, slope, shuffle, interpret, dilation)
 
 
-def _fc_fwd(x, w, b, slope, shuffle, interpret):
-    return _fused_conv_fwd(x, w, b, slope, shuffle, interpret), (x, w, b)
+def _fc_fwd(x, w, b, slope, shuffle, interpret, dilation):
+    return (_fused_conv_fwd(x, w, b, slope, shuffle, interpret, dilation),
+            (x, w, b))
 
 
-def _fc_bwd(slope, shuffle, interpret, res, g):
+def _fc_bwd(slope, shuffle, interpret, dilation, res, g):
     x, w, b = res
-    _, vjp = jax.vjp(lambda a, ww, bb: _xla_conv(a, ww, bb, slope, shuffle),
-                     x, w, b)
+    _, vjp = jax.vjp(
+        lambda a, ww, bb: _xla_conv(a, ww, bb, slope, shuffle, dilation),
+        x, w, b)
     return vjp(g)
 
 
