@@ -77,6 +77,18 @@ class ScoreConv(nn.Module):
                 x.astype(dt), k.astype(dt), (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
+        if os.environ.get("VSR_SCORE_SPLIT", "1") == "0":
+            # A/B variant: one conv on the concat (the pre-r2 layout).
+            # More MACs (the ref half recomputes per neighbor) but a single
+            # kernel invocation and no f32 broadcast-add chain.
+            cat = jnp.concatenate([
+                jnp.broadcast_to(ref_in[:, None], (b, n, h, w, cr))
+                .reshape(b * n, h, w, cr),
+                nbr_in.reshape(b * n, h, w, cn),
+            ], axis=-1)
+            s = conv(cat, kern).reshape(b, n, h, w, self.features)
+            return (s.astype(jnp.float32)
+                    + bias[None, None, None, None, :])
         s_ref = conv(ref_in, kern[:, :, :cr])                 # (B,H,W,F)
         s_nbr = conv(nbr_in.reshape(b * n, h, w, cn),
                      kern[:, :, cr:]).reshape(b, n, h, w, self.features)
