@@ -130,3 +130,37 @@ def test_vsr_model_reference_layout_variant(rng):
     out = m.apply(params, x)
     assert out.shape == (1, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sr_espcn_mid_knob():
+    """sr_espcn_mid inserts an extra LR conv before the subpixel conv
+    (QUALITY.md: recovers ~58% of the espcn-vs-two_stage gap at 4xC)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_super_resolution_tpu.config import ModelConfig
+    from video_super_resolution_tpu.models.vsr import VSRModel
+
+    cfg = ModelConfig(
+        window=3, pyramid_levels=3, pyramid_channels=(8, 16, 32),
+        max_displacement=2, flow_estimator_channels=(16, 12),
+        context_channels=(16, 12), depth_channels=8, depth_levels=2,
+        fusion_channels=16, sr_channels=16, sr_blocks=1,
+        warp_impl="gather",
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((1, 3, 32, 48, 3)),
+                    jnp.float32)
+    for mid in (0, 32):
+        c = dataclasses.replace(cfg, sr_espcn_mid=mid)
+        m = VSRModel(cfg=c, dtype=jnp.float32)
+        params = m.init(jax.random.key(0), x)["params"]
+        leaves = jax.tree_util.tree_leaves_with_path(params)
+        has_mid = any("espcn_mid" in jax.tree_util.keystr(p)
+                      for p, _ in leaves)
+        assert has_mid == (mid > 0)
+        out = m.apply({"params": params}, x)
+        assert out.shape == (1, 128, 192, 3)
+        assert np.isfinite(np.asarray(out)).all()
