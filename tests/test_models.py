@@ -164,3 +164,26 @@ def test_sr_espcn_mid_knob():
         out = m.apply({"params": params}, x)
         assert out.shape == (1, 128, 192, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_score_conv_fast_matches_fallback(rng):
+    """ScoreConv's fused-res kernel route (use_pallas=True, interpret) must
+    match the XLA fallback's f32-adds-then-lrelu numerics (round 4)."""
+    import jax.numpy as jnp
+
+    from video_super_resolution_tpu.models.fusion import ScoreConv
+
+    b, n, h, w, f = 2, 2, 8, 16, 16
+    ref_in = jnp.asarray(rng.standard_normal((b, h, w, f + 1)), jnp.float32)
+    nbr_in = jnp.asarray(rng.standard_normal((b, n, h, w, f + 2)),
+                         jnp.float32)
+    m_x = ScoreConv(f, use_pallas=False)
+    m_p = ScoreConv(f, use_pallas=True)
+    params = m_x.init(jax.random.key(0), ref_in, nbr_in)
+    assert (jax.tree.structure(params)
+            == jax.tree.structure(m_p.init(jax.random.key(0), ref_in,
+                                           nbr_in)))
+    out_x = np.asarray(m_x.apply(params, ref_in, nbr_in))
+    out_p = np.asarray(m_p.apply(params, ref_in, nbr_in))
+    assert out_x.shape == (b, n, h, w, f)
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-4, atol=1e-4)

@@ -33,7 +33,11 @@ def _launch(pid, port, ckpt_dir, steps, die_at=0):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
 
 
-def _run_pair(port, ckpt_dir, steps, die_at=0, survivor_timeout=120):
+def _run_pair(port, ckpt_dir, steps, die_at=0, survivor_timeout=420):
+    # survivor_timeout covers worker 1's full life (compile + die_at steps +
+    # checkpoint). 120 s flaked under host load on the 2-core box (the
+    # isolated run takes ~228 s total) — budget generously; the timeout only
+    # bounds a genuinely hung worker.
     procs = [_launch(i, port, ckpt_dir, steps, die_at) for i in range(2)]
     outs = [None, None]
     if die_at:
@@ -80,11 +84,20 @@ def _is_coord_flake(out: str) -> bool:
 
 
 def _run_pair_retry(port_factory, ckpt_dir, steps, die_at=0, **kw):
+    # A flake can strike AFTER checkpoints were written (e.g. at the
+    # shutdown barrier); retrying on the same dir would resume from the
+    # leftover checkpoint and misfire the start/losses assertions.
+    # Fresh-run retries get a clean dir; resume-run retries (step 3 of
+    # the test) must keep it — those pass resume_retry=True.
+    resume_retry = kw.pop("resume_retry", False)
     try:
         return _run_pair(port_factory(), ckpt_dir, steps, die_at, **kw)
     except _CoordFlake:
+        import shutil
         import time
 
+        if not resume_retry:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
         time.sleep(5)
         return _run_pair(port_factory(), ckpt_dir, steps, die_at, **kw)
 
@@ -106,7 +119,7 @@ def test_multiprocess_kill_resume(tmp_path):
 
     # 3) relaunch on the same checkpoint dir: must restore step 2 and
     #    reproduce the reference losses for the remaining steps exactly
-    res = _run_pair_retry(_free_port, crash_dir, steps)
+    res = _run_pair_retry(_free_port, crash_dir, steps, resume_retry=True)
     for r in res:
         assert r["start"] == die_at, r
         assert r["final_step"] == steps

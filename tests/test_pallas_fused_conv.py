@@ -98,3 +98,41 @@ def test_fused_conv_dilated(rng):
         gx = jax.grad(lambda a: jnp.sum(_xla_conv(a, w, b, 0.1, False, d) ** 2))(x)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("res_repeat", [1, 2])
+def test_fused_conv_res_matches_xla(rng, res_repeat):
+    """Broadcast-residual epilogue (ScoreConv fusion, round 4)."""
+    b, h, w, cin, cout = 4, 8, 16, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                      jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    res = jnp.asarray(
+        rng.standard_normal((b // res_repeat, h, w, cout)), jnp.float32)
+    got = np.asarray(
+        fused_conv3x3(x, wgt, bias, 0.1, False, True, 1, res, res_repeat))
+    want = np.asarray(
+        _xla_conv(x, wgt, bias, 0.1, False, 1, res, res_repeat))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_conv_res_grad_matches_xla(rng):
+    b, h, w, cin, cout = 2, 8, 8, 4, 8
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                      jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((1, h, w, cout)), jnp.float32)
+
+    gp = jax.grad(
+        lambda a, ww, bb, r: jnp.sum(
+            fused_conv3x3(a, ww, bb, 0.1, False, True, 1, r, b) ** 2),
+        argnums=(0, 1, 2, 3))(x, wgt, bias, res)
+    gx = jax.grad(
+        lambda a, ww, bb, r: jnp.sum(
+            _xla_conv(a, ww, bb, 0.1, False, 1, r, b) ** 2),
+        argnums=(0, 1, 2, 3))(x, wgt, bias, res)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)

@@ -67,6 +67,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--shapes", default="",
+                    help="override shape list: 'b,h,w,ci,co;b,h,w,ci,co;...'")
+    ap.add_argument("--impls", default="pallas,xla")
     args = ap.parse_args()
     if args.cpu and jax.config.jax_platforms != "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -81,17 +84,22 @@ def main():
         (2, 136, 240, 243, 128),   # flow estimator dense conv
         (3, 272, 480, 192, 64),    # depth decoder conv
     ]
+    if args.shapes:
+        shapes = [tuple(int(v) for v in s.split(","))
+                  for s in args.shapes.split(";") if s]
     for (b, h, w, ci, co) in shapes:
         x = jnp.asarray(rng.standard_normal((b, h, w, ci)) * 0.1, jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.05,
                         jnp.bfloat16)
         bias = jnp.asarray(rng.standard_normal((co,)) * 0.1, jnp.bfloat16)
         fl = 2 * 9 * ci * co * b * h * w
-        for name, fn in (
-            ("pallas", lambda a, kk, bb: fused_conv3x3(a, kk, bb, 0.1, False,
-                                                       False)),
-            ("xla", lambda a, kk, bb: _xla_conv(a, kk, bb, 0.1, False)),
-        ):
+        impls = {
+            "pallas": lambda a, kk, bb: fused_conv3x3(a, kk, bb, 0.1, False,
+                                                      False),
+            "xla": lambda a, kk, bb: _xla_conv(a, kk, bb, 0.1, False),
+        }
+        for name in args.impls.split(","):
+            fn = impls[name]
             try:
                 per, cs = bench_one(fn, (x, k, bias), n=args.n)
                 print(json.dumps({

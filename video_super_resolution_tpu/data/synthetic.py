@@ -79,6 +79,47 @@ def moving_gradient_clip(
     return np.stack(frames), np.array([dx, dy], np.float32)
 
 
+def zooming_clip(
+    num_frames: int = 5,
+    h: int = 64,
+    w: int = 64,
+    zoom: float = 1.02,
+    seed: int = 0,
+) -> np.ndarray:
+    """Clip of a texture zooming about its center by ``zoom`` per frame.
+
+    Unlike pure translation, zoom gives a spatially VARYING flow
+    (flow(x) = (zoom^t - 1) * (x - center)), i.e. a nonzero flow gradient
+    of (zoom - 1) px/px per frame step — exercising the warp kernels'
+    in-tile spread/tap budgets, which uniform translation never does.
+    Returns frames (T, H, W, 3) in [0, 1].
+    """
+    rng = np.random.default_rng(seed)
+    s_max = zoom ** (num_frames - 1) if zoom >= 1 else 1.0
+    pad = int(np.ceil(max(h, w) * (s_max - 1) / 2)) + 4
+    tex = _smooth_texture(h + 2 * pad, w + 2 * pad, rng)
+    cy, cx = (h - 1) / 2 + pad, (w - 1) / 2 + pad
+    ys = np.arange(h) + pad
+    xs = np.arange(w) + pad
+    frames = []
+    for t in range(num_frames):
+        s = zoom**t
+        sy = cy + (ys - cy) * s
+        sx = cx + (xs - cx) * s
+        y0 = np.floor(sy).astype(int)
+        x0 = np.floor(sx).astype(int)
+        wy = (sy - y0)[:, None, None]
+        wx = (sx - x0)[None, :, None]
+        f = (
+            tex[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+            + tex[np.ix_(y0, x0 + 1)] * (1 - wy) * wx
+            + tex[np.ix_(y0 + 1, x0)] * wy * (1 - wx)
+            + tex[np.ix_(y0 + 1, x0 + 1)] * wy * wx
+        )
+        frames.append(f.astype(np.float32))
+    return np.stack(frames)
+
+
 def synthetic_clip_pair(
     num_frames: int = 5, hr_h: int = 128, hr_w: int = 128, scale: int = 4,
     dx: float = 2.0, dy: float = -1.0, seed: int = 0,

@@ -38,7 +38,14 @@ class ScoreConv(nn.Module):
     conv(concat[ref_in, nbr_in]) == conv_ref + conv_nbr + bias, with the
     reference half computed once per batch element and broadcast over
     neighbors. One (3,3,Cref+Cnbr,F) HWIO kernel (torch-importable), sliced
-    per half. Returns pre-activation f32 scores (B, N, H, W, F)."""
+    per half. Returns ACTIVATED (LeakyReLU) scores (B, N, H, W, F).
+
+    On the TPU kernel route, the broadcast-add of the reference half, the
+    bias, and the LReLU all run inside the neighbor conv's Pallas epilogue
+    (fused_conv3x3 ``res`` operand, round 4) — the previous layout paid a
+    separate full-size f32 broadcast-add + lrelu pass (~0.8 GB at full
+    res). The XLA fallback keeps the exact f32-adds-then-lrelu numerics of
+    the pre-fusion layout (golden fixtures pin it)."""
 
     features: int
     slope: float = 0.1
@@ -55,11 +62,17 @@ class ScoreConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
 
-        def conv(x, k):
-            from video_super_resolution_tpu.models.common import use_pallas_conv
+        from video_super_resolution_tpu.models.common import use_pallas_conv
 
-            if self.use_pallas or use_pallas_conv(
-                    None, x.shape[1], x.shape[2], x.shape[-1], k.shape[-1]):
+        def lrelu32(s):
+            s = s.astype(jnp.float32)
+            return jnp.where(s >= 0, s, self.slope * s).astype(dt)
+
+        fast = self.use_pallas or use_pallas_conv(
+            None, h, w, cn, self.features)
+
+        def conv(x, k, bias_=None, slope=1.0, res=None, res_repeat=1):
+            if fast:
                 from video_super_resolution_tpu.ops.pallas.fused_conv import (
                     fused_conv3x3,
                 )
@@ -67,41 +80,40 @@ class ScoreConv(nn.Module):
                     should_interpret,
                 )
 
-                # slope=1.0 -> identity epilogue; bias added below, once
+                bz = (jnp.zeros((k.shape[-1],), dt) if bias_ is None
+                      else bias_.astype(dt))
                 return fused_conv3x3(
-                    x.astype(dt), k.astype(dt),
-                    jnp.zeros((k.shape[-1],), dt), 1.0, False,
-                    should_interpret(),
+                    x.astype(dt), k.astype(dt), bz, slope, False,
+                    should_interpret(), 1, res, res_repeat,
                 )
-            return jax.lax.conv_general_dilated(
+            out = jax.lax.conv_general_dilated(
                 x.astype(dt), k.astype(dt), (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return out
 
         if os.environ.get("VSR_SCORE_SPLIT", "1") == "0":
             # A/B variant: one conv on the concat (the pre-r2 layout).
             # More MACs (the ref half recomputes per neighbor) but a single
-            # kernel invocation and no f32 broadcast-add chain.
+            # kernel invocation and no broadcast-add.
             cat = jnp.concatenate([
                 jnp.broadcast_to(ref_in[:, None], (b, n, h, w, cr))
                 .reshape(b * n, h, w, cr),
                 nbr_in.reshape(b * n, h, w, cn),
             ], axis=-1)
             s = conv(cat, kern).reshape(b, n, h, w, self.features)
-            return (s.astype(jnp.float32)
-                    + bias[None, None, None, None, :])
+            return lrelu32(s.astype(jnp.float32)
+                           + bias[None, None, None, None, :])
+        if fast:
+            s_ref = conv(ref_in, kern[:, :, :cr])             # (B,H,W,F) dt
+            s = conv(nbr_in.reshape(b * n, h, w, cn), kern[:, :, cr:],
+                     bias_=bias, slope=self.slope, res=s_ref, res_repeat=n)
+            return s.reshape(b, n, h, w, self.features)
         s_ref = conv(ref_in, kern[:, :, :cr])                 # (B,H,W,F)
         s_nbr = conv(nbr_in.reshape(b * n, h, w, cn),
                      kern[:, :, cr:]).reshape(b, n, h, w, self.features)
-        if os.environ.get("VSR_SCORE_BF16", "0") == "1":
-            # experimental: the f32 broadcast-add chain moves ~0.8 GB at
-            # full res; scores only feed a 2-way softmax, so dt-precision
-            # adds are a candidate. Gated until quality-A/B'd.
-            return (s_ref[:, None].astype(dt) + s_nbr.astype(dt)
-                    + bias[None, None, None, None, :].astype(dt)
-                    ).astype(jnp.float32)
-        return (s_ref[:, None].astype(jnp.float32)
-                + s_nbr.astype(jnp.float32)
-                + bias[None, None, None, None, :])
+        return lrelu32(s_ref[:, None].astype(jnp.float32)
+                       + s_nbr.astype(jnp.float32)
+                       + bias[None, None, None, None, :])
 
 
 class Score1(nn.Module):
@@ -180,7 +192,6 @@ class DepthGuidedFusion(nn.Module):
         )                                                            # (B,N,H,W,F+2)
         s = ScoreConv(self.features, slope=self.slope, dtype=dt,
                       use_pallas=self.use_pallas)(ref_in, nbr_in)
-        s = jnp.where(s >= 0, s, self.slope * s).astype(dt)
         if stop_stage == "fusion:score":
             return s
         s = Score1(self.features, dtype=dt)(

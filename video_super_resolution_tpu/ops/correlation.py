@@ -59,9 +59,10 @@ def correlation(
     # standalone but ~16 ms inside the composed flow program (round-3
     # in-context bisect, tools/bench_model_ab.py --stages flow:cheapcorr —
     # XLA compiles the 81-slice sweep pathologically in context), while
-    # the opaque custom call keeps its standalone cost. The kernel
-    # self-falls-back to XLA for shapes it does not cover (H % 8, VMEM
-    # budget). Off-TPU stays XLA so tests never run the interpreter.
+    # the opaque custom call keeps its standalone cost. H % 8 shapes are
+    # zero-padded exactly inside correlation_pallas (round 3); the only
+    # remaining self-fallback to XLA is the per-row VMEM budget check.
+    # Off-TPU stays XLA so tests never run the interpreter.
     impl = os.environ.get("VSR_CORR_IMPL", "auto")
     if use_pallas or (impl != "xla" and not should_interpret()):
         from video_super_resolution_tpu.ops.pallas.correlation_tpu import (

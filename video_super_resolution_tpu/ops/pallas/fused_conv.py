@@ -47,8 +47,13 @@ def _pick_th(h: int, target: int = 8) -> int:
     return th
 
 
-def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, strips, sems, *,
-                 th, w, cin, cout, slope, ny, n_steps, kpair, d=1):
+def _conv_kernel(xp_ref, w_ref, b_ref, *rest, th, w, cin, cout, slope, ny,
+                 n_steps, kpair, d=1, has_res=False):
+    if has_res:
+        res_ref, out_ref, strips, sems = rest
+    else:
+        res_ref = None
+        out_ref, strips, sems = rest
     t = pl.program_id(0)
 
     def get_dma(slot, tt):
@@ -102,18 +107,24 @@ def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, strips, sems, *,
                     preferred_element_type=jnp.float32,
                 )
     acc += b_ref[...].astype(jnp.float32)[None, :]
+    if has_res:
+        # broadcast residual (e.g. the reference half of a linearity-split
+        # score conv), added PRE-activation — Pallas streams the matching
+        # (th, w, cout) block per grid step via the BlockSpec index map.
+        acc += res_ref[0].astype(jnp.float32).reshape(th * w, cout)
     acc = jnp.where(acc >= 0, acc, slope * acc)
     out_ref[0] = acc.reshape(th, w, cout).astype(out_ref.dtype)
 
 
-def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1):
+def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1, res=None,
+                    res_repeat=1):
     bsz, h, wd, cin = x.shape
     cout = w.shape[-1]
     # lane-align the DMA'd channel dim (see module docstring); tiny cin is
     # all padding — not this kernel's domain.
     cin_p = (cin + 127) // 128 * 128
     if cin < 32:
-        return _xla_conv(x, w, b, slope, shuffle, d)
+        return _xla_conv(x, w, b, slope, shuffle, d, res, res_repeat)
     # strip height: 8 measured best vs 4/16 at the trunk shape (th sweep,
     # BENCH_KERNELS_r3.md); env knobs exist for re-tuning on new platforms
     th = _pick_th(h, int(os.environ.get("VSR_CONV_TH", "8")))
@@ -127,7 +138,7 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1):
                       > budget_mb << 20):
         th //= 2
     if h % th:
-        return _xla_conv(x, w, b, slope, shuffle, d)
+        return _xla_conv(x, w, b, slope, shuffle, d, res, res_repeat)
     # ky-pair K-packing (VSR_CONV_KPAIR gate while being validated): for
     # cin == 64 the padded K=128 is half zeros; pack taps (ky=0, ky=1) of
     # adjacent rows into one dense K=128 matmul + a single ky=2 tap — 6
@@ -154,17 +165,31 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1):
     ny = h // th
     n_steps = bsz * ny
     out_shape = (bsz, h, wd, cout)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),        # padded x
+        pl.BlockSpec(memory_space=pltpu.VMEM),       # full weights
+        pl.BlockSpec(memory_space=pltpu.VMEM),       # bias
+    ]
+    operands = [xp, w, b]
+    if res is not None:
+        if res.shape != (bsz // res_repeat, h, wd, cout):
+            raise ValueError(
+                f"res shape {res.shape} != "
+                f"{(bsz // res_repeat, h, wd, cout)}")
+        in_specs.append(pl.BlockSpec(
+            (1, th, wd, cout),
+            lambda t: ((t // ny) // res_repeat, t % ny, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(res)
     out = pl.pallas_call(
         functools.partial(
             _conv_kernel, th=th, w=wd, cin=cin, cout=cout, slope=slope,
             ny=ny, n_steps=n_steps, kpair=kpair, d=d,
+            has_res=res is not None,
         ),
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),        # padded x
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # full weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # bias
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, th, wd, cout),
             lambda t: (t // ny, t % ny, 0, 0),
@@ -183,7 +208,7 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1):
             + math.prod(out_shape) * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(xp, w, b)
+    )(*operands)
     if shuffle:
         # Depth-to-space stays outside the kernel: Mosaic rejects the
         # interleaving reshape ("unsupported shape cast") and XLA lowers it
@@ -195,13 +220,15 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1):
     return out
 
 
-def _xla_conv(x, w, b, slope, shuffle, d=1):
+def _xla_conv(x, w, b, slope, shuffle, d=1, res=None, res_repeat=1):
     out = jax.lax.conv_general_dilated(
         x, w, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
     out = out + b.astype(jnp.float32)[None, None, None, :]
+    if res is not None:
+        out = out + jnp.repeat(res.astype(jnp.float32), res_repeat, axis=0)
     out = jnp.where(out >= 0, out, slope * out).astype(x.dtype)
     if shuffle:
         from video_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
@@ -210,32 +237,48 @@ def _xla_conv(x, w, b, slope, shuffle, d=1):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 8))
 def fused_conv3x3(x: jax.Array, w: jax.Array, b: jax.Array,
                   slope: float = 0.1, shuffle: bool = False,
-                  interpret: bool = False, dilation: int = 1) -> jax.Array:
-    """3x3 SAME conv + bias + LReLU (+ optional pixel-shuffle r=2 epilogue).
+                  interpret: bool = False, dilation: int = 1,
+                  res: jax.Array | None = None,
+                  res_repeat: int = 1) -> jax.Array:
+    """3x3 SAME conv + bias (+ optional residual) + LReLU
+    (+ optional pixel-shuffle r=2 epilogue).
 
     x: (B, H, W, Cin); w: (3, 3, Cin, Cout) HWIO; b: (Cout,).
     shuffle=True additionally rearranges to (B, 2H, 2W, Cout/4).
     dilation: tap spacing (SAME padding = dilation), for the dilated
     context-net convs; the VMEM budget shrinks TH as the halo grows.
+    res: optional (B // res_repeat, H, W, Cout) residual added
+    PRE-activation, broadcast over groups of ``res_repeat`` consecutive
+    batch elements — the linearity-split score conv's reference half
+    (models/fusion.ScoreConv) streams through here instead of a separate
+    full-size f32 broadcast-add pass.
     Intended domain: Cin >= 16 and Cout <= 128 (the hot trunk shapes);
     callers route other shapes to XLA.
     """
-    return _fused_conv_fwd(x, w, b, slope, shuffle, interpret, dilation)
+    return _fused_conv_fwd(x, w, b, slope, shuffle, interpret, dilation,
+                           res, res_repeat)
 
 
-def _fc_fwd(x, w, b, slope, shuffle, interpret, dilation):
-    return (_fused_conv_fwd(x, w, b, slope, shuffle, interpret, dilation),
-            (x, w, b))
+def _fc_fwd(x, w, b, slope, shuffle, interpret, dilation, res, res_repeat):
+    return (_fused_conv_fwd(x, w, b, slope, shuffle, interpret, dilation,
+                            res, res_repeat),
+            (x, w, b, res))
 
 
-def _fc_bwd(slope, shuffle, interpret, dilation, res, g):
-    x, w, b = res
+def _fc_bwd(slope, shuffle, interpret, dilation, res_repeat, saved, g):
+    x, w, b, res = saved
+    if res is None:
+        _, vjp = jax.vjp(
+            lambda a, ww, bb: _xla_conv(a, ww, bb, slope, shuffle, dilation),
+            x, w, b)
+        return (*vjp(g), None)
     _, vjp = jax.vjp(
-        lambda a, ww, bb: _xla_conv(a, ww, bb, slope, shuffle, dilation),
-        x, w, b)
+        lambda a, ww, bb, r: _xla_conv(a, ww, bb, slope, shuffle, dilation,
+                                       r, res_repeat),
+        x, w, b, res)
     return vjp(g)
 
 

@@ -22,6 +22,8 @@ def should_interpret() -> bool:
     # compiled Mosaic calls that cannot lower for CPU.
     dev = jax.config.jax_default_device
     if dev is not None:
-        return dev.platform not in ("tpu", "axon")
+        # jax.default_device accepts a platform string as well as a Device.
+        platform = dev if isinstance(dev, str) else dev.platform
+        return platform not in ("tpu", "axon")
     # axon is the experimental TPU PJRT platform in this environment
     return jax.default_backend() not in ("tpu", "axon")

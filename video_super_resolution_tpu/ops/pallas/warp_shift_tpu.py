@@ -34,8 +34,11 @@ of valid samples fits (rd_y, rd_x) per axis; beyond that, taps clamp to the
 nearest representable offset (graceful, local; only step discontinuities at
 motion boundaries exceed the budget for smooth optical flow). The default
 (ty=8, tx=32, rd_y=8, rd_x=12) tolerates flow gradients up to ~1 px/px in y
-and ~0.38 px/px in x. backward_warp(impl="gather") remains the always-exact
-path.
+and ~0.38 px/px in x. (Round 4 made the vertical budget exactly rd_y: the
+8-row DMA quantization residue is now undone by an in-kernel roll instead
+of widening the shift-select range — before, tiles lucky in their base
+alignment tolerated up to rd_y+7.) backward_warp(impl="gather") remains
+the always-exact path.
 
 Backward: custom VJP recomputing through warp_tiled's autodiff (identical
 clamping -> gradients consistent with this forward).
@@ -71,13 +74,13 @@ def _warp_kernel(oy_ref, ox_ref, flow_ref, img_ref, out_ref, patches, sems,
         bb = tt // (ny * nx)
         rr = tt % (ny * nx)
         # Mosaic requires PROVABLY tile-aligned DMA starts on the last two
-        # dims: oy is pre-quantized to 8-row granules host-side, ox is
-        # quantized to 128-lane granules here (the in-kernel roll below
-        # undoes the x shift); every other term (tile offsets, margins,
-        # clip bounds) is granule-aligned by construction, and
-        # pl.multiple_of supplies the divisibility proof.
+        # dims: oy/ox are quantized to 8-row / 128-lane granules here (the
+        # in-kernel rolls below undo both shifts); every other term (tile
+        # offsets, margins, clip bounds) is granule-aligned by construction,
+        # and pl.multiple_of supplies the divisibility proof.
+        oyq = oy_ref[tt] // 8 * 8
         sy = pl.multiple_of(
-            jnp.clip(oy_ref[tt] + (rr // nx) * ty + py, 0, hp2 - kp), 8)
+            jnp.clip(oyq + (rr // nx) * ty + py, 0, hp2 - kp), 8)
         oxq = ox_ref[tt] // gx * gx
         sx = jnp.clip(oxq + (rr % nx) * tx + px, 0, wp2 - spl // p)
         return pltpu.make_async_copy(
@@ -115,29 +118,36 @@ def _warp_kernel(oy_ref, ox_ref, flow_ref, img_ref, out_ref, patches, sems,
     wy = syc - y0
     fy = y0.astype(jnp.int32) - ys
     fx = x0.astype(jnp.int32) - xs
-    # vertical residual range widens by the 8-row base quantization
-    ry = jnp.clip(fy - oy_ref[t], 0, rd_y + 7)
+    # oy arrives UNQUANTIZED; the vertical 8-row DMA quantization residue is
+    # undone by an in-kernel sublane roll below (round-4 dequantization:
+    # the residual range used to widen by +7 rows, costing (rd_y+9) vs
+    # (rd_y+2) shift-select terms — ~40% of the kernel's VPU work).
+    ry = jnp.clip(fy - oy_ref[t], 0, rd_y + 1)
     rx = jnp.clip(fx - ox_ref[t], 0, rd_x)
 
     one = jnp.float32(1)
     alive_f = alive.astype(jnp.float32)
     vys = [((one - wy) * (ry == k) + wy * (ry == (k - 1))) * alive_f
-           for k in range(rd_y + 9)]
+           for k in range(rd_y + 2)]
 
-    # undo the x-granule quantization of the DMA start: rotate the patch
-    # left by the residue so lane 0 corresponds to base ox again (the wrap
-    # region at the end is never read — spl is one granule wider than the
-    # shift-select needs). NB: express the left rotation as roll(len - r),
-    # NOT roll(-r): Mosaic miscompiles negative dynamic shifts (measured on
-    # v5e: garbage lanes; interpret mode handles both).
+    # undo the DMA-start quantization on both axes: rotate the patch up by
+    # the vertical 8-row residue and left by the x-granule residue so
+    # row 0 / lane 0 correspond to base (oy, ox) again (the wrap regions
+    # at the end are never read — kp/spl carry the quantization margin).
+    # NB: express left rotation as roll(len - r), NOT roll(-r): Mosaic
+    # miscompiles negative dynamic shifts (measured on v5e: garbage lanes;
+    # interpret mode handles both).
+    vofs = oy_ref[t] - oy_ref[t] // 8 * 8
     rofs = (ox_ref[t] - ox_ref[t] // gx * gx) * p
-    pt = pltpu.roll(patches[t % 2][...], spl - rofs, 1).astype(jnp.float32)
+    pt = patches[t % 2][...]
+    pt = pltpu.roll(pt, kp - vofs, 0)
+    pt = pltpu.roll(pt, spl - rofs, 1).astype(jnp.float32)
     acc = jnp.zeros((ty, txl), jnp.float32)
     for u in range(rd_x + 2):
         cols = jax.lax.slice_in_dim(pt, u * p, u * p + txl, axis=1)
         vx_u = (one - wx) * (rx == u) + wx * (rx == (u - 1))
         wsum = None
-        for k in range(rd_y + 9):
+        for k in range(rd_y + 2):
             wk = vx_u * vys[k]                              # (TY, TXL)
             win = jax.lax.slice_in_dim(cols, k, k + ty, axis=0)
             term = wk * win
@@ -189,17 +199,19 @@ def _warp_shift_fwd(img: jax.Array, flow: jax.Array, rd_y: int, rd_x: int,
 
     oy = tile_min(fy, alive_y)
     ox = tile_min(fx, alive_x)
-    # quantize the vertical base to 8-row granules: the patch DMA's sublane
-    # start must be provably 8-aligned (int32 floor-division floors toward
-    # -inf, so negative bases quantize down, never up)
-    oy = (jnp.minimum(oy, h) // 8 * 8).reshape(-1)          # (B*ny*nx,)
+    # bases are passed UNQUANTIZED; the kernel quantizes the DMA start to
+    # its 8-row / lane-granule alignment and undoes the residue with
+    # in-kernel rolls (int32 floor-division floors toward -inf there, so
+    # negative bases quantize down, never up)
+    oy = jnp.minimum(oy, h).reshape(-1)                     # (B*ny*nx,)
     ox = jnp.minimum(ox, w).reshape(-1)
 
     # ---- zero-pad (free-reshape to (B, H, W*P) packed lanes) ----
     # patch DMA shape must be (8, 128)-tile-aligned (Mosaic requirement);
-    # +7 rows absorb the vertical base quantization, +1 lane granule the
-    # horizontal one (realigned by the in-kernel roll).
-    kp = _ceil_to(ty + rd_y + 9, 8)
+    # +7 rows absorb the vertical base quantization and +1 lane granule the
+    # horizontal one (both realigned by the in-kernel rolls; the rolled
+    # wrap margins are never read).
+    kp = _ceil_to(ty + rd_y + 1 + 7, 8)
     spl = _ceil_to((tx + rd_x + 2) * p, 128) + 128
     sp_pix = spl // p
     py, px = kp, sp_pix

@@ -95,6 +95,10 @@ def backward_warp(
         # tools/debug_warp_ctx.py: the three pyramid-level feature warps
         # cost 9.6 ms as tiled vs 1.1 ms as gather). Big maps flip: at
         # (2,544,960,·) tiled ~29 ms vs gather ~36 ms in-context.
+        # impl="tiled" deliberately BYPASSES this size heuristic: it is an
+        # explicit request for the XLA shift-select formulation (used by the
+        # warp bisect tooling to measure that path in isolation); production
+        # call sites pass "pallas", which owns the routing.
         if impl == "pallas" and b * h * w <= (1 << 17):
             return _warp_xla(img, flow, padding_mode)
         from video_super_resolution_tpu.ops.warp_tiled import warp_tiled

@@ -71,12 +71,23 @@ def create_train_state(
     # graph, which costs ~60 s to compile on the axon TPU toolchain vs
     # seconds on XLA-CPU (measured, tools/diag_cache.py), and threefry RNG
     # is bit-identical across backends so init values do not change.
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        # Deployments pinning JAX_PLATFORMS without cpu have no CPU backend;
+        # fall back to default-device init (slower cold compile, same values
+        # — threefry is bit-identical across backends).
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            if rng is None:
+                rng = jax.random.key(cfg.train.seed)
+            else:
+                rng = jax.device_put(rng, cpu)
+            params = jax.jit(model.init)(rng, example_window)["params"]
+    else:
         if rng is None:
             rng = jax.random.key(cfg.train.seed)
-        else:
-            rng = jax.device_put(rng, cpu)
         params = jax.jit(model.init)(rng, example_window)["params"]
     # local_devices, not devices: in a multi-process run devices()[0] is a
     # GLOBAL device (possibly another process's) and device_put to it goes
