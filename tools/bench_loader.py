@@ -1,0 +1,127 @@
+"""Native-loader acceptance number (VERDICT r1 item 7 / r3 next #6).
+
+Measures HOST-DRIVEN training steps/s — the C++ loader (libpng decode +
+bicubic degrade + pthread prefetch, native/vsr_dataio.cc) decoding real PNG
+clips and feeding the real train step through the production stream
+(training/loop._make_batch_stream + _device_prefetch) — against the
+device-side bound (bench.py --train: the same step chained on-device with
+inputs pre-staged). Acceptance: host-driven >= 80% of device-side.
+
+Writes artifacts/BENCH_loader_r4.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from video_super_resolution_tpu.runtime.cache import enable_cache  # noqa: E402
+
+enable_cache("/tmp/jax_cache_bench")
+
+
+def make_png_clips(root: str, n_clips: int = 6, frames: int = 16,
+                   h: int = 384, w: int = 512) -> None:
+    import numpy as np
+    from PIL import Image
+
+    from video_super_resolution_tpu.data.synthetic import moving_gradient_clip
+
+    rng = np.random.default_rng(7)
+    for i in range(n_clips):
+        d = os.path.join(root, f"clip{i}")
+        if os.path.isdir(d) and len(os.listdir(d)) == frames:
+            continue
+        os.makedirs(d, exist_ok=True)
+        dx = float(rng.uniform(-4, 4))
+        dy = float(rng.uniform(-4, 4))
+        hr, _ = moving_gradient_clip(frames, h, w, dx, dy, seed=500 + i)
+        for t in range(frames):
+            img = Image.fromarray(
+                (np.clip(hr[t], 0, 1) * 255).round().astype(np.uint8))
+            img.save(os.path.join(d, f"{t:04d}.png"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/vsr_loader_bench")
+    ap.add_argument("--warmup", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "artifacts", "BENCH_loader_r4.json"))
+    args = ap.parse_args()
+
+    make_png_clips(args.root)
+
+    import jax
+    import numpy as np
+
+    from video_super_resolution_tpu import VSRConfig
+    from video_super_resolution_tpu.data.dataset import ClipDataset
+    from video_super_resolution_tpu.training.loop import (
+        _device_prefetch,
+        _make_batch_stream,
+    )
+    from video_super_resolution_tpu.training.state import create_train_state
+    from video_super_resolution_tpu.training.step import make_train_step
+
+    cfg = VSRConfig()
+    ds = ClipDataset(hr_root=args.root, window=cfg.model.window,
+                     scale=cfg.model.scale, crop_size=cfg.data.crop_size,
+                     augment=True, seed=0)
+    state = create_train_state(cfg)
+    step_fn = make_train_step(cfg.train.charbonnier_eps)
+    raw, close, name = _make_batch_stream(cfg, ds)
+    assert name == "native", f"native loader not engaged ({name})"
+    batches = _device_prefetch(raw, None)
+
+    t0 = time.time()
+    for _ in range(args.warmup):
+        state, metrics = step_fn(state, next(batches))
+    jax.block_until_ready(metrics["loss"])
+    warm_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, next(batches))
+    # one sync at the end: steps are chained through `state`, so the wall
+    # time covers all device work; dividing by N amortizes the single pull
+    loss = float(metrics["loss"])
+    host_sps = args.steps / (time.time() - t0)
+    close()
+    assert np.isfinite(loss)
+
+    device_sps = None
+    try:
+        with open(os.path.join(REPO, "bench_baseline.json")) as f:
+            device_sps = json.load(f).get("train_steps_per_sec_b4_crop64")
+    except Exception:
+        pass
+    rec = {
+        "loader": name,
+        "host_driven_steps_per_s": round(host_sps, 3),
+        "host_driven_frames_per_s": round(host_sps * cfg.data.batch_size, 2),
+        "device_side_steps_per_s_baseline": device_sps,
+        "ratio_vs_device_side": (round(host_sps / device_sps, 3)
+                                 if device_sps else None),
+        "batch": cfg.data.batch_size,
+        "crop": cfg.data.crop_size,
+        "warmup_s": round(warm_s, 1),
+        "steps": args.steps,
+        "device": str(jax.devices()[0]),
+        "clips": "6x16 PNG frames 384x512 (moving_gradient_clip)",
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

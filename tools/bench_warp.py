@@ -70,6 +70,10 @@ def main():
     ap.add_argument("--impls", default="tiled,pallas")
     ap.add_argument("--shapes", default="2,544,960,4;2,136,240,32")
     ap.add_argument("--n", type=int, default=32)
+    ap.add_argument("--check", action="store_true",
+                    help="compare each impl's COMPILED output against the "
+                         "exact gather (catches Mosaic miscompiles that "
+                         "interpret-mode tests cannot)")
     args = ap.parse_args()
     if args.cpu and jax.config.jax_platforms != "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -86,15 +90,22 @@ def main():
                              jnp.float32)
         flow = jax.image.resize(coarse, (b, h, w, 2), "linear")
         hbm_ms = (b * h * w * (c * 2 * 2 + 2 * 4)) / 819e9 * 1e3  # v5e ~819GB/s
+        want = (np.asarray(backward_warp(img, flow, impl="gather"))
+                if args.check else None)
         for impl in args.impls.split(","):
             fn = functools.partial(backward_warp, impl=impl)
+            rec = {"impl": impl, "shape": [b, h, w, c]}
+            if args.check:
+                got = np.asarray(fn(img, flow))
+                rec["max_abs_diff_vs_gather"] = round(
+                    float(np.max(np.abs(got - want))), 8)
             per, cs = bench_one(fn, img, flow, n=args.n)
-            print(json.dumps({
-                "impl": impl, "shape": [b, h, w, c],
+            rec.update({
                 "ms": round(per, 3), "hbm_bound_ms": round(hbm_ms, 3),
                 "compile_s": round(cs, 1),
                 "device": str(jax.devices()[0]),
-            }), flush=True)
+            })
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
