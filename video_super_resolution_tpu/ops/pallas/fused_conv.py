@@ -48,7 +48,7 @@ def _pick_th(h: int, target: int = 8) -> int:
 
 
 def _conv_kernel(xp_ref, w_ref, b_ref, *rest, th, w, cin, cout, slope, ny,
-                 n_steps, kpair, d=1, has_res=False):
+                 n_steps, kpair, d=1, has_res=False, kcat=False):
     if has_res:
         res_ref, out_ref, strips, sems = rest
     else:
@@ -95,6 +95,25 @@ def _conv_kernel(xp_ref, w_ref, b_ref, *rest, th, w, cin, cout, slope, ny,
                            preferred_element_type=jnp.float32)
             s2 = jax.lax.slice_in_dim(s_kx, 2, 2 + th, axis=0)
             acc += jnp.dot(s2.reshape(th * w, cin), wk[1, kx],
+                           preferred_element_type=jnp.float32)
+    elif kcat:
+        # K-concat experiment (round 4): the 9 `acc += dot` read-modify-
+        # writes of the (TH*W, Cout) f32 accumulator move ~70 MB/strip of
+        # VMEM traffic at the 128x128 trunk shape — the main gap to the
+        # MXU bound (BENCH_KERNELS_r4.md). Concatenating the 3 ky taps
+        # along K per kx (one K=3*Cin dot) touches acc 3x instead of 9x,
+        # trading a (TH*W, 3*Cin) operand build. Needs a smaller TH for
+        # VMEM (the caller shrinks it).
+        for kx in range(3):
+            a_kx = jax.lax.slice_in_dim(strip[...], kx * d, kx * d + w,
+                                        axis=1)
+            parts = [
+                jax.lax.slice_in_dim(a_kx, ky * d, ky * d + th, axis=0)
+                .reshape(th * w, cin)
+                for ky in range(3)
+            ]
+            wcat = jnp.concatenate([wk[0, kx], wk[1, kx], wk[2, kx]], axis=0)
+            acc += jnp.dot(jnp.concatenate(parts, axis=1), wcat,
                            preferred_element_type=jnp.float32)
     else:
         for kx in range(3):
@@ -148,6 +167,16 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1, res=None,
     # [0]=pair (ky0|ky1), [1]=ky2 with a zero upper half.
     kpair = (cin == 64 and d == 1
              and os.environ.get("VSR_CONV_KPAIR", "0") == "1")
+    kcat = (not kpair and d == 1
+            and os.environ.get("VSR_CONV_KCAT", "0") == "1")
+    if kcat:
+        # the (TH*W, 3*Cin) concat operand needs VMEM headroom
+        while th > 1 and (th * (wd) * 3 * cin_p * x.dtype.itemsize
+                          + 2 * (th + 2) * wd_p * cin_p * x.dtype.itemsize
+                          > (budget_mb + 2) << 20):
+            th //= 2
+        if h % th:
+            return _xla_conv(x, w, b, slope, shuffle, d, res, res_repeat)
     if kpair:
         xb = jnp.pad(x, ((0, 0), (1, 2), (1, wd_p - wd - 1), (0, 0)))
         xp = jnp.concatenate([xb[:, :-1], xb[:, 1:]], axis=-1)
@@ -186,7 +215,7 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1, res=None,
         functools.partial(
             _conv_kernel, th=th, w=wd, cin=cin, cout=cout, slope=slope,
             ny=ny, n_steps=n_steps, kpair=kpair, d=d,
-            has_res=res is not None,
+            has_res=res is not None, kcat=kcat,
         ),
         grid=(n_steps,),
         in_specs=in_specs,
