@@ -71,8 +71,13 @@ def main():
     state = None
     for label, stage, v in items:
         if v is not None:
-            conv_impl, warp_impl = v.split("/")
+            parts = v.split("/")
+            conv_impl, warp_impl = parts[0], parts[1]
             os.environ["VSR_CONV_IMPL"] = conv_impl
+            # optional extra tokens: "kcat" toggles VSR_CONV_KCAT for this
+            # variant's trace (env is read at trace time)
+            os.environ["VSR_CONV_KCAT"] = (
+                "1" if "kcat" in parts[2:] else "0")
             cfg = base.replace(
                 model=dataclasses.replace(base.model, warp_impl=warp_impl))
             state = create_train_state(cfg)
