@@ -187,3 +187,22 @@ def test_score_conv_fast_matches_fallback(rng):
     out_p = np.asarray(m_p.apply(params, ref_in, nbr_in))
     assert out_x.shape == (b, n, h, w, f)
     np.testing.assert_allclose(out_p, out_x, rtol=1e-4, atol=1e-4)
+
+
+def test_depth_res_divisor_knob(rng):
+    """depth_res_divisor=4 changes only the depth-branch resizes: the param
+    tree must stay byte-identical to the default config (round 4)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg4 = dataclasses.replace(TINY, depth_res_divisor=4)
+    x = jnp.asarray(rng.random((1, 3, 32, 48, 3)), jnp.float32)
+    m0 = VSRModel(cfg=TINY)
+    m4 = VSRModel(cfg=cfg4)
+    p0 = m0.init(jax.random.key(0), x)
+    p4 = m4.init(jax.random.key(0), x)
+    assert jax.tree.structure(p0) == jax.tree.structure(p4)
+    out = m4.apply(p4, x)
+    assert out.shape == (1, 128, 192, 3)
+    assert np.isfinite(np.asarray(out)).all()

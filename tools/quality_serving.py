@@ -58,6 +58,8 @@ def production_cfg(variant: str, steps: int):
         model_kw["sr_head_style"] = "two_stage"
     elif variant == "espcn_mid":
         model_kw["sr_espcn_mid"] = 64
+    elif variant == "espcn_d4":
+        model_kw["depth_res_divisor"] = 4
     elif variant != "espcn":
         raise ValueError(f"unknown variant {variant}")
     model = dataclasses.replace(cfg.model, **model_kw)
@@ -261,13 +263,13 @@ def main():
     sub = ap.add_subparsers(dest="cmd", required=True)
     tp = sub.add_parser("train")
     tp.add_argument("--variant", default="espcn",
-                    choices=("espcn", "two_stage", "espcn_mid"))
+                    choices=("espcn", "two_stage", "espcn_mid", "espcn_d4"))
     tp.add_argument("--steps", type=int, default=12000)
     tp.add_argument("--log-every", type=int, default=200)
     tp.set_defaults(fn=cmd_train)
     ep = sub.add_parser("eval")
     ep.add_argument("--variant", default="espcn",
-                    choices=("espcn", "two_stage", "espcn_mid"))
+                    choices=("espcn", "two_stage", "espcn_mid", "espcn_d4"))
     ep.add_argument("--path", default="serving", choices=tuple(EVAL_PATHS))
     ep.add_argument("--batch-windows", type=int, default=4)
     ep.set_defaults(fn=cmd_eval)

@@ -62,6 +62,12 @@ class ModelConfig:
     # run the depth hourglass on 1/2-res frames and upsample its output x2:
     # depth is a smooth fusion guide; halves the second-biggest conv cost
     depth_at_half_res: bool = True
+    # resolution divisor for the depth branch input (param tree unchanged —
+    # only the pre/post resizes move). 0 = derive from the legacy
+    # depth_at_half_res bool (2 if set else 1); 4 = quarter-res depth
+    # (~4x less depth compute; the r4 stage map measured the depth branch
+    # at 16.6 ms/frame at 540x960 — quality-gated in QUALITY.md).
+    depth_res_divisor: int = 0
     # backward-warp implementation at model call sites: "pallas" is the
     # hand-written shift-select TPU kernel (ops/pallas/warp_shift_tpu.py;
     # exact for smooth flow — docstring gives the exactness domain; C>8 and

@@ -85,11 +85,13 @@ class VSRModel(nn.Module):
             slope=cfg.lrelu_slope, dtype=self.dtype,
             use_pallas=self.use_pallas, name="depth_net",
         )
-        if cfg.depth_at_half_res:
+        ddiv = cfg.depth_res_divisor or (2 if cfg.depth_at_half_res else 1)
+        if ddiv > 1:
             from video_super_resolution_tpu.ops.resize import resize_bilinear
 
-            d_half = depth_net(resize_bilinear(frames_flat, h // 2, w // 2))
-            depths = resize_bilinear(d_half, h, w).reshape(b, t, h, w, 1)
+            d_low = depth_net(
+                resize_bilinear(frames_flat, h // ddiv, w // ddiv))
+            depths = resize_bilinear(d_low, h, w).reshape(b, t, h, w, 1)
         else:
             depths = depth_net(frames_flat).reshape(b, t, h, w, 1)
         ref_depth = depths[:, center]

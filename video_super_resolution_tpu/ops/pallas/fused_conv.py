@@ -156,6 +156,19 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1, res=None,
     while th > 1 and (2 * (th + 2 * d) * wd_p * cin_p * x.dtype.itemsize
                       > budget_mb << 20):
         th //= 2
+    if res is not None:
+        # the res operand adds its own double-buffered (th, wd, cout)
+        # pipeline blocks on top of the strips; without counting them the
+        # scoped-vmem stack overflows at full-res score shapes (measured:
+        # 17.62M > 16M limit at (2,544,960,128,64) with th=8)
+        while th > 1 and (
+                2 * (th + 2 * d) * wd_p * cin_p * x.dtype.itemsize
+                + 2 * th * wd * cout * res.dtype.itemsize
+                + 2 * th * wd * cout * x.dtype.itemsize
+                > budget_mb << 20):
+            th //= 2
+        if h % th:
+            return _xla_conv(x, w, b, slope, shuffle, d, res, res_repeat)
     if h % th:
         return _xla_conv(x, w, b, slope, shuffle, d, res, res_repeat)
     # ky-pair K-packing (VSR_CONV_KPAIR gate while being validated): for
