@@ -30,6 +30,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--h", type=int, default=540)
     ap.add_argument("--w", type=int, default=960)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--window", type=int, default=0,
+                    help="temporal window override (0 = config default)")
     ap.add_argument("--n", type=int, default=8, help="scan length per chain")
     ap.add_argument("--reps", type=int, default=6, help="interleaved rounds")
     ap.add_argument("--variants", default="xla/pallas,auto/pallas",
@@ -49,8 +52,12 @@ def main():
 
     rng = np.random.default_rng(0)
     base = VSRConfig()
+    if args.window:
+        base = base.replace(
+            model=dataclasses.replace(base.model, window=args.window))
     window = jnp.asarray(
-        rng.random((1, base.model.window, args.h, args.w, 3)), jnp.float32)
+        rng.random((args.batch, base.model.window, args.h, args.w, 3)),
+        jnp.float32)
 
     trivial = jax.jit(lambda x: jnp.sum(x) * 0 + 1.0)
     z = jnp.zeros((8, 128), jnp.float32)

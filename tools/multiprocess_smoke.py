@@ -66,6 +66,13 @@ def run_worker(pid: int, nproc: int, port: int, frames_dir: str) -> dict:
         build_mesh, initialize_distributed)
 
     initialize_distributed(f"localhost:{port}", nproc, pid)
+    # Establish the Gloo contexts NOW with a trivial cross-process
+    # barrier: the fixed ~30 s coordination deadline then only has to
+    # cover process-startup skew, not the load-dependent model-compile
+    # skew that flaked the suite under concurrent chip jobs (round 4).
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("gloo_warmup")
     assert jax.process_count() == nproc
     assert jax.local_device_count() == 4
 

@@ -52,6 +52,13 @@ def run_worker(args) -> dict:
 
     initialize_distributed(f"localhost:{args.port}", args.nproc, args.pid)
     assert jax.process_count() == args.nproc
+    # Establish the Gloo contexts NOW with a trivial cross-process
+    # barrier: the fixed ~30 s coordination deadline then only has to
+    # cover process-startup skew, not the load-dependent model-compile
+    # skew that flaked the suite under concurrent chip jobs (round 4).
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("gloo_warmup")
 
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P

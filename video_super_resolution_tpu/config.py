@@ -64,10 +64,14 @@ class ModelConfig:
     depth_at_half_res: bool = True
     # resolution divisor for the depth branch input (param tree unchanged —
     # only the pre/post resizes move). 0 = derive from the legacy
-    # depth_at_half_res bool (2 if set else 1); 4 = quarter-res depth
-    # (~4x less depth compute; the r4 stage map measured the depth branch
-    # at 16.6 ms/frame at 540x960 — quality-gated in QUALITY.md).
-    depth_res_divisor: int = 0
+    # depth_at_half_res bool (2 if set else 1). Default 4 = quarter-res
+    # depth: the r4 stage map measured the depth branch at 16.6 ms/frame
+    # (540x960, ~20% of the whole model) and the production-width quality
+    # harness measured divisor 4 as quality-free (oracle PSNR 41.5099 vs
+    # 41.5103 at divisor 2; serving-path delta -0.0155 dB, inside the
+    # clause — QUALITY.md round-4 table). Set 0/2 to recover the legacy
+    # half-res behavior, e.g. for checkpoints trained before round 4.
+    depth_res_divisor: int = 4
     # backward-warp implementation at model call sites: "pallas" is the
     # hand-written shift-select TPU kernel (ops/pallas/warp_shift_tpu.py;
     # exact for smooth flow — docstring gives the exactness domain; C>8 and
