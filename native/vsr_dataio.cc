@@ -26,9 +26,11 @@
 #include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -171,6 +173,44 @@ struct Sample {
   std::vector<float> hr;  // (ch*s, cw*s, 3)
 };
 
+uint64_t next_rand(uint64_t* s);
+
+// Bounded cache of decoded HR frames and their LR degradations, keyed by
+// global frame id. Without it every sample re-decodes window PNGs and
+// re-runs the FULL-frame antialias bicubic (measured round 4: 2.8
+// batches/s host-driven vs ~50 device-side — the loader, not the chip,
+// was the training bottleneck). Typical epochs revisit every frame many
+// times; with the cache a warm sample is crop+copy only. Eviction:
+// random victim until under budget (an LRU chain buys little for uniform
+// random sampling and costs a lock-held list splice per hit).
+struct FrameCache {
+  struct Entry {
+    std::vector<float> hr, lr;
+    int h = 0, w = 0;
+  };
+  std::unordered_map<uint64_t, std::shared_ptr<Entry>> map;
+  std::mutex mu;
+  size_t bytes = 0, max_bytes = size_t(1024) << 20;
+
+  std::shared_ptr<Entry> get(uint64_t key) {
+    std::lock_guard<std::mutex> lk(mu);
+    auto it = map.find(key);
+    return it == map.end() ? nullptr : it->second;
+  }
+  void put(uint64_t key, std::shared_ptr<Entry> e, uint64_t* rng) {
+    const size_t sz = (e->hr.size() + e->lr.size()) * sizeof(float);
+    std::lock_guard<std::mutex> lk(mu);
+    while (bytes + sz > max_bytes && !map.empty()) {
+      auto victim = map.begin();
+      std::advance(victim, next_rand(rng) % map.size());
+      bytes -= (victim->second->hr.size() + victim->second->lr.size()) *
+               sizeof(float);
+      map.erase(victim);
+    }
+    if (map.emplace(key, std::move(e)).second) bytes += sz;
+  }
+};
+
 struct Loader {
   // dataset layout
   std::vector<std::vector<std::string>> clips;  // clip -> frame paths (HR)
@@ -186,6 +226,8 @@ struct Loader {
   std::atomic<bool> stop{false};
   std::atomic<uint64_t> seed{0};
   std::string error;
+  FrameCache cache;
+  std::vector<int> clip_offsets;  // clip -> global frame id base
 
   ~Loader() { shutdown(); }
 
@@ -207,6 +249,21 @@ uint64_t next_rand(uint64_t* s) {  // splitmix64
   return z ^ (z >> 31);
 }
 
+// Decoded+degraded frame via the loader cache (decode/degrade on miss).
+std::shared_ptr<FrameCache::Entry> load_frame(Loader* L, int ci, int fi,
+                                              uint64_t* rng) {
+  uint64_t key = uint64_t(L->clip_offsets[ci] + fi);
+  if (auto e = L->cache.get(key)) return e;
+  auto e = std::make_shared<FrameCache::Entry>();
+  if (!decode_png_rgb(L->clips[ci][fi].c_str(), &e->hr, &e->h, &e->w))
+    return nullptr;
+  const int lh = e->h / L->scale, lw = e->w / L->scale;
+  e->lr.resize(size_t(lh) * lw * 3);
+  resize_bicubic_aa(e->hr.data(), e->h, e->w, e->lr.data(), lh, lw);
+  L->cache.put(key, e, rng);
+  return e;
+}
+
 bool make_sample(Loader* L, uint64_t* rng, Sample* out) {
   const int T = L->window, s = L->scale, c = L->crop;
   int ci = int(next_rand(rng) % L->clips.size());
@@ -214,26 +271,26 @@ bool make_sample(Loader* L, uint64_t* rng, Sample* out) {
   int nf = int(frames.size());
   int center = int(next_rand(rng) % nf);
 
-  // load HR window (replicate edge policy)
-  std::vector<std::vector<float>> hrs(T);
+  // load HR window (replicate edge policy) through the frame cache
+  std::vector<std::shared_ptr<FrameCache::Entry>> win(T);
   int h = 0, w = 0;
   for (int t = 0; t < T; ++t) {
     int fi = center - T / 2 + t;
     if (fi < 0) fi = 0;
     if (fi > nf - 1) fi = nf - 1;
-    int hh, ww;
-    if (!decode_png_rgb(frames[fi].c_str(), &hrs[t], &hh, &ww)) return false;
+    win[t] = load_frame(L, ci, fi, rng);
+    if (!win[t]) return false;
     if (t == 0) {
-      h = hh;
-      w = ww;
-    } else if (hh != h || ww != w) {
+      h = win[t]->h;
+      w = win[t]->w;
+    } else if (win[t]->h != h || win[t]->w != w) {
       return false;
     }
   }
   int lh = h / s, lw = w / s;
   if (lh < c || lw < c) return false;
 
-  // degrade each window frame to LR, then crop
+  // crop the cached LR frames
   int y0 = int(next_rand(rng) % (lh - c + 1));
   int x0 = int(next_rand(rng) % (lw - c + 1));
   bool hflip = L->augment && (next_rand(rng) & 1);
@@ -241,15 +298,14 @@ bool make_sample(Loader* L, uint64_t* rng, Sample* out) {
   bool trev = L->augment && (next_rand(rng) & 1);
 
   out->lr.assign(size_t(T) * c * c * 3, 0.f);
-  std::vector<float> lr_full(size_t(lh) * lw * 3);
   for (int t = 0; t < T; ++t) {
     int tt = trev ? (T - 1 - t) : t;
-    resize_bicubic_aa(hrs[tt].data(), h, w, lr_full.data(), lh, lw);
+    const float* lr_full = win[tt]->lr.data();
     for (int y = 0; y < c; ++y) {
       int sy = vflip ? (y0 + c - 1 - y) : (y0 + y);
       for (int x = 0; x < c; ++x) {
         int sx = hflip ? (x0 + c - 1 - x) : (x0 + x);
-        const float* p = lr_full.data() + (size_t(sy) * lw + sx) * 3;
+        const float* p = lr_full + (size_t(sy) * lw + sx) * 3;
         float* q = out->lr.data() + ((size_t(t) * c + y) * c + x) * 3;
         q[0] = p[0];
         q[1] = p[1];
@@ -258,7 +314,7 @@ bool make_sample(Loader* L, uint64_t* rng, Sample* out) {
     }
   }
   // HR center crop (frame index center stays center under temporal reverse)
-  const std::vector<float>& hc = hrs[T / 2];
+  const std::vector<float>& hc = win[T / 2]->hr;
   int C = c * s;
   out->hr.assign(size_t(C) * C * 3, 0.f);
   for (int y = 0; y < C; ++y) {
@@ -332,9 +388,12 @@ void* vsr_loader_create(const char** paths, const int* clip_sizes,
   int off = 0;
   for (int i = 0; i < num_clips; ++i) {
     std::vector<std::string> fr;
+    L->clip_offsets.push_back(off);
     for (int j = 0; j < clip_sizes[i]; ++j) fr.emplace_back(paths[off++]);
     L->clips.push_back(std::move(fr));
   }
+  if (const char* mb = getenv("VSR_LOADER_CACHE_MB"))
+    L->cache.max_bytes = size_t(atoll(mb)) << 20;
   L->window = window;
   L->scale = scale;
   L->crop = crop;
