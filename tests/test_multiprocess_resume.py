@@ -2,6 +2,15 @@
 VERDICT r2 missing #6): kill one worker mid-run right after a checkpoint,
 assert a clean relaunch restores the latest checkpoint and reproduces the
 uninterrupted run's loss curve bit-for-bit (CPU backend is deterministic).
+
+Load sensitivity (round-4 analysis): Gloo context formation uses the
+coordination KV store with a HARDCODED ~30 s deadline (not configurable
+from jax). The workers form their contexts via an early barrier (before
+compile skew) and this harness retries coordination flakes 3x with
+backoff — measured robust on a normal machine and alongside one chip
+benchmark; only extreme starvation of this 2-core host (multiple
+concurrent chip compiles + a second suite) can still exhaust the
+retries. That is an environment constraint, not a product defect.
 """
 
 import json
