@@ -53,7 +53,10 @@ class ScoreConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, ref_in: jax.Array, nbr_in: jax.Array) -> jax.Array:
+    def __call__(self, ref_in: jax.Array, nbr_in: jax.Array,
+                 stop_stage: str = "") -> jax.Array:
+        """stop_stage "fusion:sref": return only the reference-half conv
+        (profiling hook — isolates it from the neighbor conv + epilogue)."""
         b, n, h, w, cn = nbr_in.shape
         cr = ref_in.shape[-1]
         dt = self.dtype
@@ -105,10 +108,14 @@ class ScoreConv(nn.Module):
                            + bias[None, None, None, None, :])
         if fast:
             s_ref = conv(ref_in, kern[:, :, :cr])             # (B,H,W,F) dt
+            if stop_stage == "fusion:sref":
+                return s_ref[:, None]
             s = conv(nbr_in.reshape(b * n, h, w, cn), kern[:, :, cr:],
                      bias_=bias, slope=self.slope, res=s_ref, res_repeat=n)
             return s.reshape(b, n, h, w, self.features)
         s_ref = conv(ref_in, kern[:, :, :cr])                 # (B,H,W,F)
+        if stop_stage == "fusion:sref":
+            return s_ref[:, None]
         s_nbr = conv(nbr_in.reshape(b * n, h, w, cn),
                      kern[:, :, cr:]).reshape(b, n, h, w, self.features)
         return lrelu32(s_ref[:, None].astype(jnp.float32)
@@ -191,7 +198,12 @@ class DepthGuidedFusion(nn.Module):
             axis=-1,
         )                                                            # (B,N,H,W,F+2)
         s = ScoreConv(self.features, slope=self.slope, dtype=dt,
-                      use_pallas=self.use_pallas)(ref_in, nbr_in)
+                      use_pallas=self.use_pallas)(
+                          ref_in, nbr_in,
+                          stop_stage=(stop_stage
+                                      if stop_stage == "fusion:sref" else ""))
+        if stop_stage == "fusion:sref":
+            return s
         if stop_stage == "fusion:score":
             return s
         s = Score1(self.features, dtype=dt)(
