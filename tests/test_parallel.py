@@ -133,3 +133,34 @@ def test_halo_exchange_values(rng):
     # per shard (2 own + 2 halo = 4 rows) concatenated over 4 shards
     want = [0, 0, 1, 2, 1, 2, 3, 4, 3, 4, 5, 6, 5, 6, 7, 7]
     np.testing.assert_array_equal(out, want)
+
+
+def test_tensor_parallel_matches_single(rng):
+    """Trunk TP (Megatron channel sharding over the "model" axis) must
+    reproduce the unsharded forward — GSPMD inserts the per-block
+    all-reduce from the param shardings alone (SURVEY.md §2.4 TP row)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from video_super_resolution_tpu.parallel.tensor import (
+        make_tp_forward,
+        shard_params_tp,
+    )
+
+    cfg = ModelConfig(
+        pyramid_channels=(8, 16), flow_estimator_channels=(16, 16),
+        context_channels=(16, 16), depth_channels=8, depth_levels=2,
+        fusion_channels=16, sr_channels=16, sr_blocks=2,
+        warp_impl="gather",
+    )
+    model = VSRModel(cfg=cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.random((1, 3, 32, 48, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), x)["params"]
+    want = np.asarray(model.apply({"params": params}, x))
+
+    mesh = build_mesh(MeshConfig(model=2), devices=jax.devices()[:2])
+    sharded = shard_params_tp(params, mesh)
+    # conv1 kernels really are channel-sharded
+    k = sharded["sr_head"]["ResBlock_0"]["ConvLReLU_0"]["kernel"]
+    assert k.sharding.spec == P(None, None, None, "model")
+    got = np.asarray(make_tp_forward(model.apply, mesh)(sharded, x))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

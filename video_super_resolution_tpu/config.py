@@ -132,22 +132,28 @@ class TrainConfig:
 class MeshConfig:
     """Device-mesh axes (SURVEY.md §2.4/§2.5).
 
-    axes: ("data", "time", "space") — batch DP, temporal context-parallel
-    (timeline shards + frame halo exchange), and spatial tiling of H for
-    4K activations (conv-halo exchange). A size of 1 disables an axis.
+    axes: ("data", "time", "space", "model") — batch DP, temporal
+    context-parallel (timeline shards + frame halo exchange), spatial
+    tiling of H for 4K activations (conv-halo exchange), and tensor
+    parallelism (Megatron-style channel sharding of the SR trunk,
+    parallel/tensor.py). A size of 1 disables an axis. "model" is the
+    innermost axis so its per-block all-reduce rides the fastest ICI
+    links.
     """
 
     data: int = 1
     time: int = 1
     space: int = 1
+    model: int = 1
 
     @property
     def shape(self):
-        return {"data": self.data, "time": self.time, "space": self.space}
+        return {"data": self.data, "time": self.time, "space": self.space,
+                "model": self.model}
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.time * self.space
+        return self.data * self.time * self.space * self.model
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,91 @@
+"""Tensor parallelism for the SR trunk (SURVEY.md §2.4 "TP" row).
+
+Megatron-style channel sharding, expressed entirely through GSPMD: the
+wide ResBlock is conv1 (C -> 2C) followed by conv2 (2C -> C), so sharding
+conv1's OUTPUT channels and conv2's INPUT channels over the mesh "model"
+axis makes the block's hidden activation channel-sharded end-to-end with
+exactly ONE all-reduce per block (the partial-sum reduction of conv2),
+which GSPMD inserts automatically from the parameter shardings — no
+hand-written collectives (SURVEY.md §2.5 contract).
+
+The reference is a single-process research repo with no model parallelism
+(SURVEY.md §2.4); this is new spec scope. TP is a serving-scale option for
+when one chip's HBM or latency budget needs the trunk split — the trunk
+carries ~60% of the model's MACs at 4K output. The flow/depth/fusion
+stages stay replicated (their channel counts are too small to pay an
+all-reduce per conv).
+
+Composition: the "model" axis is innermost in the (data, time, space,
+model) mesh (runtime/mesh.py), so the per-block all-reduce rides
+ICI-adjacent devices; dp/temporal-CP/spatial sharding compose on the
+outer axes unchanged.
+
+Note: the TP program uses the XLA conv path — the Pallas kernels are
+opaque custom calls GSPMD cannot partition. Routing is forced at trace
+time here; single-chip serving keeps the Pallas routing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_super_resolution_tpu.runtime.mesh import AXIS_MODEL
+
+
+def trunk_param_specs(params, mesh: Mesh):
+    """PartitionSpec tree: Megatron sharding for the SR-trunk ResBlocks,
+    everything else replicated.
+
+    - ``sr_head/ResBlock_*/ConvLReLU_0``: conv1 (C->2C) — kernel sharded
+      on Cout (HWIO axis 3), bias sharded on its only axis.
+    - ``sr_head/ResBlock_*/Conv_0``: conv2 (2C->C) — kernel sharded on
+      Cin (HWIO axis 2), bias replicated (added after the reduction).
+    """
+
+    def spec(path, leaf):
+        keys = [getattr(k, "key", str(k)) for k in path]
+        joined = "/".join(keys)
+        if "sr_head" in keys and any(k.startswith("ResBlock_") for k in keys):
+            if "ConvLReLU_0" in keys:
+                if joined.endswith("kernel"):
+                    return P(None, None, None, AXIS_MODEL)
+                return P(AXIS_MODEL)                       # bias (2C,)
+            if "Conv_0" in keys and joined.endswith("kernel"):
+                return P(None, None, AXIS_MODEL, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Place a replicated param tree onto the mesh with trunk TP sharding."""
+    specs = trunk_param_specs(params, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def make_tp_forward(apply_fn, mesh: Mesh) -> Callable:
+    """jit forward with trunk tensor parallelism over ``mesh``'s "model"
+    axis: (sharded_params, window) -> HR frame (replicated).
+
+    Pass params through :func:`shard_params_tp` first; GSPMD propagates
+    the channel sharding through the trunk and inserts one all-reduce per
+    ResBlock. Output is constrained replicated.
+    """
+    # The Pallas conv custom calls are opaque to GSPMD — force the XLA
+    # conv path for this program's trace (single-chip programs and their
+    # caches are unaffected; env is read at trace time per call site).
+    os.environ["VSR_CONV_IMPL"] = "xla"
+
+    @jax.jit
+    def tp_forward(params, window):
+        out = apply_fn({"params": params}, window)
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P()))
+
+    return tp_forward

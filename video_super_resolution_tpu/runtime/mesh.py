@@ -29,7 +29,8 @@ from video_super_resolution_tpu.config import MeshConfig
 AXIS_DATA = "data"
 AXIS_TIME = "time"
 AXIS_SPACE = "space"
-AXES = (AXIS_DATA, AXIS_TIME, AXIS_SPACE)
+AXIS_MODEL = "model"
+AXES = (AXIS_DATA, AXIS_TIME, AXIS_SPACE, AXIS_MODEL)
 
 
 def build_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -46,7 +47,7 @@ def build_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) 
         raise ValueError(
             f"mesh {cfg.shape} needs {n} devices, only {len(devices)} available"
         )
-    shape = (cfg.data, cfg.time, cfg.space)
+    shape = (cfg.data, cfg.time, cfg.space, cfg.model)
     if n == len(devices):
         try:
             from jax.experimental import mesh_utils
