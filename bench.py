@@ -147,11 +147,13 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from video_super_resolution_tpu import VSRConfig
+    from video_super_resolution_tpu.config import serving_config
     from video_super_resolution_tpu.training.state import create_train_state
     from video_super_resolution_tpu.training.step import make_eval_step
 
-    cfg = VSRConfig().replace(use_pallas=args.pallas)
+    # serving_config: dataclass defaults + the quality-gated serving knobs
+    # (quarter-res depth); the bench measures what serves.
+    cfg = serving_config().replace(use_pallas=args.pallas)
     if args.window:
         import dataclasses
 

@@ -191,18 +191,26 @@ struct FrameCache {
   std::unordered_map<uint64_t, std::shared_ptr<Entry>> map;
   std::mutex mu;
   size_t bytes = 0, max_bytes = size_t(1024) << 20;
+  // Victim-selection RNG, OWN state (seeded from the loader seed at
+  // create). Drawing victims from the calling worker's sample RNG made the
+  // number of next_rand() calls per sample depend on shared cache state —
+  // with multiple workers, each worker's sample/augmentation stream
+  // (previously a pure function of (seed, wid)) became timing-dependent
+  // once the cache filled, breaking fixed-seed reproducibility (ADVICE r4
+  // low #1). Guarded by `mu` like everything else here.
+  uint64_t rng = 0x243F6A8885A308D3ull;
 
   std::shared_ptr<Entry> get(uint64_t key) {
     std::lock_guard<std::mutex> lk(mu);
     auto it = map.find(key);
     return it == map.end() ? nullptr : it->second;
   }
-  void put(uint64_t key, std::shared_ptr<Entry> e, uint64_t* rng) {
+  void put(uint64_t key, std::shared_ptr<Entry> e) {
     const size_t sz = (e->hr.size() + e->lr.size()) * sizeof(float);
     std::lock_guard<std::mutex> lk(mu);
     while (bytes + sz > max_bytes && !map.empty()) {
       auto victim = map.begin();
-      std::advance(victim, next_rand(rng) % map.size());
+      std::advance(victim, next_rand(&rng) % map.size());
       bytes -= (victim->second->hr.size() + victim->second->lr.size()) *
                sizeof(float);
       map.erase(victim);
@@ -250,8 +258,7 @@ uint64_t next_rand(uint64_t* s) {  // splitmix64
 }
 
 // Decoded+degraded frame via the loader cache (decode/degrade on miss).
-std::shared_ptr<FrameCache::Entry> load_frame(Loader* L, int ci, int fi,
-                                              uint64_t* rng) {
+std::shared_ptr<FrameCache::Entry> load_frame(Loader* L, int ci, int fi) {
   uint64_t key = uint64_t(L->clip_offsets[ci] + fi);
   if (auto e = L->cache.get(key)) return e;
   auto e = std::make_shared<FrameCache::Entry>();
@@ -260,7 +267,7 @@ std::shared_ptr<FrameCache::Entry> load_frame(Loader* L, int ci, int fi,
   const int lh = e->h / L->scale, lw = e->w / L->scale;
   e->lr.resize(size_t(lh) * lw * 3);
   resize_bicubic_aa(e->hr.data(), e->h, e->w, e->lr.data(), lh, lw);
-  L->cache.put(key, e, rng);
+  L->cache.put(key, e);
   return e;
 }
 
@@ -278,7 +285,7 @@ bool make_sample(Loader* L, uint64_t* rng, Sample* out) {
     int fi = center - T / 2 + t;
     if (fi < 0) fi = 0;
     if (fi > nf - 1) fi = nf - 1;
-    win[t] = load_frame(L, ci, fi, rng);
+    win[t] = load_frame(L, ci, fi);
     if (!win[t]) return false;
     if (t == 0) {
       h = win[t]->h;
@@ -400,6 +407,7 @@ void* vsr_loader_create(const char** paths, const int* clip_sizes,
   L->batch = batch;
   L->augment = augment != 0;
   L->seed.store(seed);
+  L->cache.rng = seed ^ 0x243F6A8885A308D3ull;  // own stream (see FrameCache)
   for (int i = 0; i < num_workers; ++i)
     L->workers.emplace_back(worker_main, L, i);
   return L;

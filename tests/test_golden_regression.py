@@ -28,6 +28,9 @@ def _cfg():
         depth_channels=8, depth_levels=2, fusion_channels=16,
         sr_channels=16, sr_blocks=3, sr_wide_blocks=False,
         warp_impl="gather",
+        # pinned: the fixture was frozen with quarter-res depth (round 4);
+        # the FIELD default reverted to legacy-derived in round 5
+        depth_res_divisor=4,
     )
 
 

@@ -47,11 +47,11 @@ def main():
 
     import dataclasses
 
-    from video_super_resolution_tpu import VSRConfig
+    from video_super_resolution_tpu.config import serving_config
     from video_super_resolution_tpu.training.state import create_train_state
 
     rng = np.random.default_rng(0)
-    base = VSRConfig()
+    base = serving_config()
     if args.window:
         base = base.replace(
             model=dataclasses.replace(base.model, window=args.window))
@@ -81,10 +81,15 @@ def main():
             parts = v.split("/")
             conv_impl, warp_impl = parts[0], parts[1]
             os.environ["VSR_CONV_IMPL"] = conv_impl
-            # optional extra tokens: "kcat" toggles VSR_CONV_KCAT for this
-            # variant's trace (env is read at trace time)
+            # optional extra tokens toggle env knobs for this variant's
+            # trace (env is read at trace time): "kcat", "noppack",
+            # "tr128xla" (route the 64->128 trunk conv to XLA)
             os.environ["VSR_CONV_KCAT"] = (
                 "1" if "kcat" in parts[2:] else "0")
+            os.environ["VSR_CONV_PPACK"] = (
+                "0" if "noppack" in parts[2:] else "1")
+            os.environ["VSR_CONV_64_128"] = (
+                "xla" if "tr128xla" in parts[2:] else "pallas")
             cfg = base.replace(
                 model=dataclasses.replace(base.model, warp_impl=warp_impl))
             state = create_train_state(cfg)

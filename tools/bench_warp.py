@@ -74,6 +74,10 @@ def main():
                     help="compare each impl's COMPILED output against the "
                          "exact gather (catches Mosaic miscompiles that "
                          "interpret-mode tests cannot)")
+    ap.add_argument("--flow-scale", type=float, default=6.0,
+                    help="std of the coarse flow grid (6.0 ~ 0.13 px/px "
+                         "gradients; 1.5 ~ smooth serving content; 0 = "
+                         "pure subpixel translation)")
     args = ap.parse_args()
     if args.cpu and jax.config.jax_platforms != "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -86,8 +90,10 @@ def main():
         # f32 frames + smooth flow: the model's hot call is the f32
         # frame+depth warp with a 1/4-res-upsampled (smooth) flow field.
         img = jnp.asarray(rng.random((b, h, w, c)), jnp.float32)
-        coarse = jnp.asarray(rng.standard_normal((b, 9, 15, 2)) * 6.0,
-                             jnp.float32)
+        coarse = jnp.asarray(
+            rng.standard_normal((b, 9, 15, 2)) * args.flow_scale
+            + rng.standard_normal((b, 1, 1, 2)) * 3.0,      # global shift
+            jnp.float32)
         flow = jax.image.resize(coarse, (b, h, w, 2), "linear")
         hbm_ms = (b * h * w * (c * 2 * 2 + 2 * 4)) / 819e9 * 1e3  # v5e ~819GB/s
         want = (np.asarray(backward_warp(img, flow, impl="gather"))

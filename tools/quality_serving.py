@@ -53,7 +53,11 @@ def production_cfg(variant: str, steps: int):
     from video_super_resolution_tpu import VSRConfig
 
     cfg = VSRConfig()
-    model_kw = {}
+    # NB: every variant pins depth_res_divisor EXPLICITLY so the divisor-2
+    # vs divisor-4 A/B that justified the serving default stays reproducible
+    # regardless of the dataclass default (ADVICE r4 low #2: after the r4
+    # default flip, "espcn_d4" had become identical to "espcn").
+    model_kw = {"depth_res_divisor": 2}
     if variant == "two_stage":
         model_kw["sr_head_style"] = "two_stage"
     elif variant == "espcn_mid":

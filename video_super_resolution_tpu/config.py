@@ -63,15 +63,17 @@ class ModelConfig:
     # depth is a smooth fusion guide; halves the second-biggest conv cost
     depth_at_half_res: bool = True
     # resolution divisor for the depth branch input (param tree unchanged —
-    # only the pre/post resizes move). 0 = derive from the legacy
-    # depth_at_half_res bool (2 if set else 1). Default 4 = quarter-res
-    # depth: the r4 stage map measured the depth branch at 16.6 ms/frame
-    # (540x960, ~20% of the whole model) and the production-width quality
-    # harness measured divisor 4 as quality-free (oracle PSNR 41.5099 vs
-    # 41.5103 at divisor 2; serving-path delta -0.0155 dB, inside the
-    # clause — QUALITY.md round-4 table). Set 0/2 to recover the legacy
-    # half-res behavior, e.g. for checkpoints trained before round 4.
-    depth_res_divisor: int = 4
+    # only the pre/post resizes move). 0 (default) = derive from the legacy
+    # depth_at_half_res bool (2 if set else 1), so configs/checkpoints that
+    # never set this field keep their trained-time numerics — the r4 default
+    # of 4 silently changed inference for pre-r4 checkpoints because the
+    # param tree is byte-identical (ADVICE r4 medium #2). The SERVING
+    # configuration opts into 4 explicitly (see serving_config()): the r4
+    # stage map measured the depth branch at 16.6 ms/frame (540x960, ~20%
+    # of the model) and the production-width quality harness measured
+    # divisor 4 as quality-free (oracle PSNR 41.5099 vs 41.5103 at divisor
+    # 2; serving-path delta -0.0155 dB — QUALITY.md round-4 table).
+    depth_res_divisor: int = 0
     # backward-warp implementation at model call sites: "pallas" is the
     # hand-written shift-select TPU kernel (ops/pallas/warp_shift_tpu.py;
     # exact for smooth flow — docstring gives the exactness domain; C>8 and
@@ -197,3 +199,18 @@ class VSRConfig:
 
     def replace(self, **kw) -> "VSRConfig":
         return dataclasses.replace(self, **kw)
+
+
+def serving_config(**model_overrides: Any) -> VSRConfig:
+    """The production/serving configuration: dataclass defaults plus the
+    perf knobs that are quality-gated for serving but intentionally NOT
+    baked into the defaults (so checkpoint-stamped configs keep their
+    trained-time numerics; ADVICE r4 medium #2).
+
+    Currently: quarter-res depth (depth_res_divisor=4, measured
+    quality-free at production width — QUALITY.md round-4 table). bench.py,
+    the driver entry, and the stage-map tools all build from here.
+    """
+    cfg = VSRConfig()
+    return cfg.replace(model=dataclasses.replace(
+        cfg.model, depth_res_divisor=4, **model_overrides))

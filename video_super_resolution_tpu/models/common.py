@@ -7,6 +7,8 @@ All convs are NHWC / HWIO (TPU-native layout: C rides the 128 lanes, XLA maps
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -21,6 +23,28 @@ def lrelu(x: jax.Array, slope: float = 0.1) -> jax.Array:
     return nn.leaky_relu(x, negative_slope=slope)
 
 
+# Scoped (non-global) conv routing override. Programs that must trace with a
+# specific impl — e.g. the tensor-parallel forward, whose GSPMD partitioner
+# cannot see through opaque Pallas custom calls — enter this context around
+# their calls instead of mutating os.environ (which would silently re-route
+# every LATER trace in the process; ADVICE r4 medium #1).
+_conv_impl_override: contextvars.ContextVar[Optional[str]] = (
+    contextvars.ContextVar("vsr_conv_impl_override", default=None))
+
+
+@contextlib.contextmanager
+def force_conv_impl(impl: str):
+    """Scoped conv-routing override ("xla" | "pallas" | "auto").
+
+    Takes precedence over the VSR_CONV_IMPL env var inside the context and
+    leaves process state untouched on exit."""
+    tok = _conv_impl_override.set(impl)
+    try:
+        yield
+    finally:
+        _conv_impl_override.reset(tok)
+
+
 def conv_impl_policy() -> str:
     """Global conv routing policy: "auto" (default), "xla", or "pallas".
 
@@ -29,8 +53,12 @@ def conv_impl_policy() -> str:
     the hand-written MXU kernel (ops/pallas/fused_conv.py) beats XLA's conv
     emitter — the emitter reaches only ~21-33 TF/s on the large-spatial
     trunk shapes while plain MXU matmuls reach ~175 (measured,
-    tools/bench_conv.py). The env var VSR_CONV_IMPL overrides for A/B runs.
+    tools/bench_conv.py). The env var VSR_CONV_IMPL overrides for A/B runs;
+    a scoped :func:`force_conv_impl` context overrides both.
     """
+    override = _conv_impl_override.get()
+    if override is not None:
+        return override
     return os.environ.get("VSR_CONV_IMPL", "auto")
 
 
@@ -41,6 +69,13 @@ def pallas_conv_wins(h: int, w: int, cin: int, cout: int) -> bool:
     maps and tiny cin (where 128-lane padding dominates) lose. Calibrated
     on chip via tools/bench_conv.py (artifact: BENCH_KERNELS.md).
     """
+    if cin == 64 and cout == 128:
+        # Standalone, XLA wins this shape (0.89 ms vs 1.31 pixel-pair /
+        # 1.52 padded at (1,544,960,64,128)) — but IN-CONTEXT the XLA conv
+        # deoptimizes the whole trunk (+8.6 ms/frame, r5 stage A/B), the
+        # same context-sensitivity the r3 correlation finding documented.
+        # Routing stays pallas; env knob for re-measurement.
+        return os.environ.get("VSR_CONV_64_128", "pallas") == "pallas"
     return cin >= 32 and cout >= 16 and h * w >= 96 * 96
 
 
@@ -75,10 +110,16 @@ class ConvLReLU(nn.Module):
     slope: float = 0.1
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
+    # pixel-pair-packed activation layout (ops/pallas/fused_conv.py
+    # fused_conv3x3_packed): x arrives/leaves as (B, H, W/2, 2C). Param
+    # tree is IDENTICAL to the unpacked module — only the activation
+    # layout between calls changes (SRHead packed trunk).
+    in_packed: bool = False
+    out_packed: bool = False
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        cin = x.shape[-1] // 2 if self.in_packed else x.shape[-1]
         kern = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -87,6 +128,19 @@ class ConvLReLU(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        if self.in_packed or self.out_packed:
+            assert (self.kernel == 3 and self.strides == 1
+                    and self.dilation == 1), "packed layout: 3x3 s1 d1 only"
+            from video_super_resolution_tpu.ops.pallas.fused_conv import (
+                fused_conv3x3_packed,
+            )
+            from video_super_resolution_tpu.ops.pallas.util import should_interpret
+
+            return fused_conv3x3_packed(
+                x.astype(self.dtype), kern.astype(self.dtype),
+                bias.astype(self.dtype), self.slope, self.in_packed,
+                self.out_packed, should_interpret(),
+            )
         # dilated kernel support exists (d<=8) but measured neutral vs XLA
         # in-context (flow 18.6->18.9ms with ctx convs routed), so AUTO
         # routing keeps d==1 only; explicit use_pallas opts dilated in.
@@ -141,15 +195,29 @@ class RoutedConv(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     out_dtype: Optional[Dtype] = None
+    in_packed: bool = False     # pixel-pair-packed layout (see ConvLReLU)
+    out_packed: bool = False
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        cin = x.shape[-1] // 2 if self.in_packed else x.shape[-1]
         kern = self.param("kernel", nn.initializers.lecun_normal(),
                           (3, 3, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         odt = self.out_dtype or self.dtype
+        if self.in_packed or self.out_packed:
+            from video_super_resolution_tpu.ops.pallas.fused_conv import (
+                fused_conv3x3_packed,
+            )
+            from video_super_resolution_tpu.ops.pallas.util import should_interpret
+
+            out = fused_conv3x3_packed(
+                x.astype(self.dtype), kern.astype(self.dtype),
+                bias.astype(jnp.float32).astype(self.dtype), 1.0,
+                self.in_packed, self.out_packed, should_interpret(),
+            )
+            return out.astype(odt)
         if use_pallas_conv(None, x.shape[1], x.shape[2], cin, self.features):
             from video_super_resolution_tpu.ops.pallas.fused_conv import (
                 fused_conv3x3,
@@ -221,13 +289,16 @@ class ResBlock(nn.Module):
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
     wide: bool = False
+    packed: bool = False    # pixel-pair-packed activations through the block
 
     @nn.compact
     def __call__(self, x):
         mid = 2 * self.features if self.wide else self.features
         h = ConvLReLU(mid, slope=self.slope, dtype=self.dtype,
-                      use_pallas=self.use_pallas)(x)
-        h = RoutedConv(self.features, dtype=self.dtype, name="Conv_0")(h)
+                      use_pallas=self.use_pallas, in_packed=self.packed,
+                      out_packed=self.packed)(x)
+        h = RoutedConv(self.features, dtype=self.dtype, name="Conv_0",
+                       in_packed=self.packed, out_packed=self.packed)(h)
         return x + h
 
 

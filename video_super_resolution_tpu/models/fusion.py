@@ -54,9 +54,19 @@ class ScoreConv(nn.Module):
 
     @nn.compact
     def __call__(self, ref_in: jax.Array, nbr_in: jax.Array,
-                 stop_stage: str = "") -> jax.Array:
+                 stop_stage: str = "", split_at: int = 0) -> jax.Array:
         """stop_stage "fusion:sref": return only the reference-half conv
-        (profiling hook — isolates it from the neighbor conv + epilogue)."""
+        (profiling hook — isolates it from the neighbor conv + epilogue).
+
+        split_at > 0: the first ``split_at`` channels of BOTH halves are
+        the wide feature block and the remainder are thin guide channels
+        (depth / |Δdepth|). On the kernel route the guide channels then
+        run as separate tiny XLA convs folded into the ``res`` operand —
+        the r4 bisect pinned ~3x score-stage overhang on exactly the
+        [feat, depth, ddiff] concats (134+270 MB) and the cin 65/66 -> 128
+        pad copies (~270 MB per conv) this split eliminates (VERDICT r4
+        next #1a). Identical math: the conv is linear in input channels.
+        """
         b, n, h, w, cn = nbr_in.shape
         cr = ref_in.shape[-1]
         dt = self.dtype
@@ -94,6 +104,24 @@ class ScoreConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return out
 
+        def xconv(x, k):
+            # thin-guide conv (K of 1-2) as im2col + ONE matmul: an XLA
+            # conv at cin 1-2 deoptimizes in-context (measured +7 ms/frame
+            # — the same context pathology as the r3 correlation finding);
+            # tap-concat of the thin maps is ~36 MB and the dot is a
+            # single well-shaped MXU pass.
+            bx, hx, wx, cx = x.shape
+            xp = jnp.pad(x.astype(dt), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            t = jnp.concatenate(
+                [xp[:, dy:dy + hx, dx:dx + wx, :]
+                 for dy in range(3) for dx in range(3)], axis=-1)
+            k9 = k.reshape(9 * cx, k.shape[-1])
+            return jax.lax.dot_general(
+                t.reshape(-1, 9 * cx), k9.astype(dt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(bx, hx, wx, k.shape[-1]).astype(dt)
+
         if os.environ.get("VSR_SCORE_SPLIT", "1") == "0":
             # A/B variant: one conv on the concat (the pre-r2 layout).
             # More MACs (the ref half recomputes per neighbor) but a single
@@ -106,6 +134,34 @@ class ScoreConv(nn.Module):
             s = conv(cat, kern).reshape(b, n, h, w, self.features)
             return lrelu32(s.astype(jnp.float32)
                            + bias[None, None, None, None, :])
+        # MEASURED NEGATIVE (r5, gate off): the guide-split was the r4
+        # bisect's named fix for the score stage's ~3x overhang — but
+        # in-context it LOSES to the concat+pad layout it replaces
+        # (fusion:score delta 18.0 ms with XLA thin convs, 9.5 with the
+        # im2col-matmul guide form, vs 8.8 for concat+pad; interleaved
+        # stage A/Bs). The ref half's guide-split IS a win in isolation
+        # (fusion:sref delta 3.3 -> 2.0 ms) but the neighbor half's
+        # res-chain (d_nbr materialize + broadcast-add + kernel res read)
+        # costs more than the 270 MB concat+pad it avoids. Kept for
+        # re-measurement on future platforms: VSR_SCORE_GUIDE_SPLIT=1.
+        if (fast and split_at
+                and os.environ.get("VSR_SCORE_GUIDE_SPLIT", "0") == "1"):
+            f = split_at
+            nbr_flat = nbr_in.reshape(b * n, h, w, cn)
+            # guide-channel contributions (tiny K) + the wide ref half,
+            # all funneled into the neighbor conv's res operand
+            d_ref = xconv(ref_in[..., f:], kern[:, :, f:cr])  # (B,H,W,F)
+            s_ref = conv(ref_in[..., :f], kern[:, :, :f], res=d_ref)
+            if stop_stage == "fusion:sref":
+                return s_ref[:, None]
+            # XLA fuses the broadcast-add of s_ref into d_nbr's epilogue
+            d_nbr = (xconv(nbr_flat[..., f:], kern[:, :, cr + f:])
+                     .reshape(b, n, h, w, self.features)
+                     + s_ref[:, None].astype(dt)).reshape(
+                         b * n, h, w, self.features)
+            s = conv(nbr_flat[..., :f], kern[:, :, cr:cr + f],
+                     bias_=bias, slope=self.slope, res=d_nbr)
+            return s.reshape(b, n, h, w, self.features)
         if fast:
             s_ref = conv(ref_in, kern[:, :, :cr])             # (B,H,W,F) dt
             if stop_stage == "fusion:sref":
@@ -201,7 +257,8 @@ class DepthGuidedFusion(nn.Module):
                       use_pallas=self.use_pallas)(
                           ref_in, nbr_in,
                           stop_stage=(stop_stage
-                                      if stop_stage == "fusion:sref" else ""))
+                                      if stop_stage == "fusion:sref" else ""),
+                          split_at=f)
         if stop_stage == "fusion:sref":
             return s
         if stop_stage == "fusion:score":

@@ -47,6 +47,41 @@ def _pick_th(h: int, target: int = 8) -> int:
     return th
 
 
+def _ppack_weights(w: jax.Array) -> jax.Array:
+    """(3, 3, Cin, Cout) HWIO -> (3, 3, 2*Cin, 2*Cout) pixel-pair block
+    mats (Cin 64 -> K=128 dense, Cin 128 -> K=256 = two dense MXU passes).
+
+    Pixel-pair packing (round 5): a (B, H, W, 64) activation viewed as
+    (B, H, W/2, 128) is lane-DENSE — two adjacent pixels' channels fill the
+    128 lanes that the 64-channel layout would zero-pad. The 3x3 conv then
+    becomes, per vertical tap ky, three (128, 2*Cout) matmuls over pair
+    shifts s in {-1, 0, +1}: output pair j consumes input pairs j+s, and
+    block (p_in, p_out) of the shift-s matrix holds the horizontal tap
+    kx = 2s + p_in - p_out + 1 (zero block when kx is outside 0..2). Same
+    FLOP count as the zero-padded K=128 kernel, but the N (output) side is
+    2*Cout — a FULL 128-lane MXU tile at Cout=64 instead of half idle
+    (measured 23 TF/s at 64->64 in both XLA and the padded kernel — the
+    worst shape on this chip, BENCH_KERNELS_r4.md).
+    """
+    z = jnp.zeros_like(w[0, 0])                             # (64, Cout)
+
+    def blocks(b00, b01, b10, b11):
+        return jnp.concatenate([
+            jnp.concatenate([b00, b01], axis=1),
+            jnp.concatenate([b10, b11], axis=1),
+        ], axis=0)                                          # (128, 2*Cout)
+
+    mats = []
+    for ky in range(3):
+        w0, w1, w2 = w[ky, 0], w[ky, 1], w[ky, 2]
+        mats.append(jnp.stack([
+            blocks(z, z, w0, z),        # s=-1: only (p_in=1 -> p_out=0)
+            blocks(w1, w0, w2, w1),     # s= 0: all four taps
+            blocks(z, w2, z, z),        # s=+1: only (p_in=0 -> p_out=1)
+        ]))
+    return jnp.stack(mats)                                  # (3, 3, 128, 2C)
+
+
 def _conv_kernel(xp_ref, w_ref, b_ref, *rest, th, w, cin, cout, slope, ny,
                  n_steps, kpair, d=1, has_res=False, kcat=False):
     if has_res:
@@ -135,6 +170,177 @@ def _conv_kernel(xp_ref, w_ref, b_ref, *rest, th, w, cin, cout, slope, ny,
     out_ref[0] = acc.reshape(th, w, cout).astype(out_ref.dtype)
 
 
+def _ppack_conv(x, w, b, slope, shuffle, interpret, res, res_repeat,
+                in_packed=False, out_packed=False):
+    """Pixel-pair-packed conv (see _ppack_weights). Layouts:
+
+    - in_packed=False: x is (B, H, W, Cin), viewed as (B, H, W/2, 2*Cin)
+      (an XLA relayout at the boundary). True: x arrives already packed.
+    - out_packed=False: result unpacked back to (B, H, W, Cout) (another
+      boundary relayout). True: returns (B, H, W/2, 2*Cout) packed.
+
+    Boundaries cost real HBM copies (~0.3 ms each at the 540x960 64-ch
+    shape), which is why the bare normal->normal form loses in-context; the
+    model-side packed trunk keeps activations packed ACROSS calls and pays
+    the boundary only at entry/exit. `res`, when given, must match the
+    OUTPUT layout. Returns None when the shape doesn't fit (odd W,
+    indivisible H) so callers can fall back."""
+    cin, cout = w.shape[2], w.shape[3]
+    lane = 2 * cin
+    cout2 = 2 * cout
+    if lane not in (128, 256):
+        return None     # DMA lane dim must be 128-aligned (Mosaic)
+    if in_packed:
+        bsz, h, wh, _ = x.shape
+        wd = 2 * wh
+    else:
+        bsz, h, wd, _ = x.shape
+        if wd % 2:
+            return None
+        wh = wd // 2
+    th = _pick_th(h, int(os.environ.get("VSR_CONV_TH", "8")))
+    whp = (wh + 2 + 7) // 8 * 8
+    budget_mb = int(os.environ.get("VSR_CONV_VMEM_MB", "6"))
+    while th > 1 and (
+            2 * (th + 2) * whp * lane * x.dtype.itemsize
+            + (2 * th * wh * cout2 * (res.dtype.itemsize + x.dtype.itemsize)
+               if res is not None else 0)
+            > budget_mb << 20):
+        th //= 2
+    if h % th:
+        return None
+    xp = x if in_packed else x.reshape(bsz, h, wh, lane)
+    xp = jnp.pad(xp, ((0, 0), (1, 1), (1, whp - wh - 1), (0, 0)))
+    wk = _ppack_weights(w)                                  # (3,3,2Ci,2Co)
+    bb = jnp.concatenate([b, b])
+    ny = h // th
+    n_steps = bsz * ny
+    out_shape = (bsz, h, wh, cout2)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [xp, wk, bb]
+    if res is not None:
+        rb = bsz // res_repeat
+        if res.shape == (rb, h, wd, cout):
+            res = res.reshape(rb, h, wh, cout2)
+        elif res.shape != (rb, h, wh, cout2):
+            raise ValueError(f"res shape {res.shape}")
+        in_specs.append(pl.BlockSpec(
+            (1, th, wh, cout2),
+            lambda t: ((t // ny) // res_repeat, t % ny, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(res)
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_kernel, th=th, w=wh, cin=lane, cout=cout2, slope=slope,
+            ny=ny, n_steps=n_steps, kpair=False, d=1,
+            has_res=res is not None, kcat=False,
+        ),
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, th, wh, cout2),
+            lambda t: (t // ny, t % ny, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, whp, lane), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * wd * cin * cout2 * 9,
+            bytes_accessed=(x.size + wk.size) * x.dtype.itemsize
+            + math.prod(out_shape) * x.dtype.itemsize
+            + (res.size * res.dtype.itemsize if res is not None else 0),
+            transcendentals=0,
+        ),
+    )(*operands)
+    if not out_packed:
+        out = out.reshape(bsz, h, wd, cout)
+    if shuffle:
+        assert not out_packed
+        from video_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
+
+        out = pixel_shuffle(out, 2)
+    return out
+
+
+def _packed_ref(x, w, b, slope, in_packed, out_packed, res, res_repeat):
+    """XLA reference semantics of fused_conv3x3_packed (also the fallback
+    and VJP-recompute path): unpack -> conv+bias(+res)+lrelu -> repack."""
+    cin, cout = w.shape[2], w.shape[3]
+    if in_packed:
+        bsz, h, wh, _ = x.shape
+        x = x.reshape(bsz, h, 2 * wh, cin)
+    bsz, h, wd, _ = x.shape
+    rn = res
+    if res is not None and out_packed:
+        rb = bsz // res_repeat
+        rn = res.reshape(rb, h, wd, cout)
+    out = _xla_conv(x, w, b, slope, False, 1, rn, res_repeat)
+    if out_packed:
+        out = out.reshape(bsz, h, wd // 2, 2 * cout)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 8))
+def fused_conv3x3_packed(x: jax.Array, w: jax.Array, b: jax.Array,
+                         slope: float = 0.1, in_packed: bool = True,
+                         out_packed: bool = True, interpret: bool = False,
+                         res: jax.Array | None = None,
+                         res_repeat: int = 1) -> jax.Array:
+    """3x3 SAME conv + bias (+res) + LReLU in the PIXEL-PAIR-PACKED layout.
+
+    A (B, H, W, C) activation is carried as (B, H, W/2, 2C) — two adjacent
+    pixels' channels filling the 128 lanes densely for C=64 (256 for
+    C=128). in_packed/out_packed say which side uses the packed layout;
+    `w` is always the plain (3, 3, Cin, Cout) HWIO tree param. Keeping
+    activations packed ACROSS calls is the point: N=2*Cout fills the MXU's
+    128-wide output tile at Cout=64 (measured 2x the padded kernel's
+    useful rate at the model's worst shape) and the pack/unpack relayout
+    is paid once per chain, not per conv. res must match the output
+    layout. Elementwise ops (residual adds, lrelu, softmax-weighted sums)
+    are layout-invariant; channel-concats of same-packing arrays become
+    lane-concats (see ScoreConv/fusion packed paths).
+    """
+    out = _ppack_conv(x, w, b, slope, False, interpret, res, res_repeat,
+                      in_packed, out_packed)
+    if out is None:
+        out = _packed_ref(x, w, b, slope, in_packed, out_packed, res,
+                          res_repeat)
+    return out
+
+
+def _fcp_fwd(x, w, b, slope, in_packed, out_packed, interpret, res,
+             res_repeat):
+    return (fused_conv3x3_packed(x, w, b, slope, in_packed, out_packed,
+                                 interpret, res, res_repeat),
+            (x, w, b, res))
+
+
+def _fcp_bwd(slope, in_packed, out_packed, interpret, res_repeat, saved, g):
+    x, w, b, res = saved
+    if res is None:
+        _, vjp = jax.vjp(
+            lambda a, ww, bb: _packed_ref(a, ww, bb, slope, in_packed,
+                                          out_packed, None, 1), x, w, b)
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(
+        lambda a, ww, bb, r: _packed_ref(a, ww, bb, slope, in_packed,
+                                         out_packed, r, res_repeat),
+        x, w, b, res)
+    return vjp(g)
+
+
+fused_conv3x3_packed.defvjp(_fcp_fwd, _fcp_bwd)
+
+
 def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1, res=None,
                     res_repeat=1):
     bsz, h, wd, cin = x.shape
@@ -144,6 +350,17 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1, res=None,
     cin_p = (cin + 127) // 128 * 128
     if cin < 32:
         return _xla_conv(x, w, b, slope, shuffle, d, res, res_repeat)
+    # default OFF in-context (round 5): standalone the packed path wins the
+    # 64->64 shapes by 1.3-2x (0.87 ms vs 1.15 XLA at (1,544,960,64,64))
+    # but each bare call pays pack/unpack relayout boundaries that eat the
+    # gain inside the model (interleaved A/B: 68.95 vs 67.80 ms/frame).
+    # The model-side win is fused_conv3x3_packed with activations KEPT
+    # packed across ops (see SRHead packed trunk).
+    if (cin == 64 and d == 1 and wd % 2 == 0
+            and os.environ.get("VSR_CONV_PPACK", "0") == "1"):
+        out = _ppack_conv(x, w, b, slope, shuffle, interpret, res, res_repeat)
+        if out is not None:
+            return out
     # strip height: 8 measured best vs 4/16 at the trunk shape (th sweep,
     # BENCH_KERNELS_r3.md); env knobs exist for re-tuning on new platforms
     th = _pick_th(h, int(os.environ.get("VSR_CONV_TH", "8")))
@@ -180,7 +397,10 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1, res=None,
     # [0]=pair (ky0|ky1), [1]=ky2 with a zero upper half.
     kpair = (cin == 64 and d == 1
              and os.environ.get("VSR_CONV_KPAIR", "0") == "1")
-    kcat = (not kpair and d == 1
+    # kcat's VMEM shrink loop below does not model the res pipeline blocks;
+    # force it off for res-carrying calls rather than risk a scoped-VMEM
+    # overflow at full-res score shapes (ADVICE r4 low #3)
+    kcat = (not kpair and d == 1 and res is None
             and os.environ.get("VSR_CONV_KCAT", "0") == "1")
     if kcat:
         # the (TH*W, 3*Cin) concat operand needs VMEM headroom
@@ -247,7 +467,8 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1, res=None,
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * wd * cin * cout * 9,
             bytes_accessed=(x.size + w.size) * x.dtype.itemsize
-            + math.prod(out_shape) * x.dtype.itemsize,
+            + math.prod(out_shape) * x.dtype.itemsize
+            + (res.size * res.dtype.itemsize if res is not None else 0),
             transcendentals=0,
         ),
     )(*operands)
@@ -263,12 +484,16 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1, res=None,
 
 
 def _xla_conv(x, w, b, slope, shuffle, d=1, res=None, res_repeat=1):
+    # NB: no preferred_element_type — with bf16 operands the conv's
+    # TRANSPOSE would feed an f32 cotangent (from the trailing astype)
+    # into a bf16 conv and fail under jax.vjp (hit by the packed-trunk
+    # train path, r5 verify drive). The TPU MXU accumulates bf16 convs in
+    # f32 internally either way; bias/res/lrelu math stays f32 below.
     out = jax.lax.conv_general_dilated(
         x, w, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    out = out + b.astype(jnp.float32)[None, None, None, :]
+    out = out.astype(jnp.float32) + b.astype(jnp.float32)[None, None, None, :]
     if res is not None:
         out = out + jnp.repeat(res.astype(jnp.float32), res_repeat, axis=0)
     out = jnp.where(out >= 0, out, slope * out).astype(x.dtype)
