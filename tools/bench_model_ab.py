@@ -90,6 +90,14 @@ def main():
                 "0" if "noppack" in parts[2:] else "1")
             os.environ["VSR_CONV_64_128"] = (
                 "xla" if "tr128xla" in parts[2:] else "pallas")
+            # "vmemN" / "thN" tokens sweep the kernel VMEM budget / strip
+            # height for this variant's trace (defaults 6 MB / 8 rows)
+            os.environ["VSR_CONV_VMEM_MB"] = next(
+                (t[4:] for t in parts[2:] if t.startswith("vmem")), "6")
+            os.environ["VSR_CONV_TH"] = next(
+                (t[2:] for t in parts[2:] if t.startswith("th")), "8")
+            os.environ["VSR_ENC_PACK"] = (
+                "1" if "encpack" in parts[2:] else "0")
             cfg = base.replace(
                 model=dataclasses.replace(base.model, warp_impl=warp_impl))
             state = create_train_state(cfg)

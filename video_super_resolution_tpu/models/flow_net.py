@@ -101,8 +101,29 @@ class FlowNet(nn.Module):
         nbr = nbr.astype(self.dtype)
         pyramid = FeaturePyramid(self.pyramid_channels, self.slope,
                                  use_pallas=self.use_pallas, dtype=self.dtype)
-        pyr_r = pyramid(ref)
-        pyr_n = pyramid(nbr)
+        if ref.shape[0] != nbr.shape[0]:
+            # Deduplicated-reference form (round 5): the caller passes ref
+            # at its TRUE batch (B) and neighbors folded to B*N. One
+            # pyramid call over [ref; nbrs] (B*(1+N) tower instead of
+            # 2*B*N = the ref tower computed once, not once per neighbor —
+            # ~25% of the pyramid stage at N=2) and the ref features
+            # broadcast per neighbor (a few MB of HBM writes, ~free).
+            br, bn = ref.shape[0], nbr.shape[0]
+            n = bn // br
+            assert br * n == bn, (ref.shape, nbr.shape)
+            pyr_all = pyramid(jnp.concatenate([ref, nbr], axis=0))
+            pyr_r = [
+                jnp.broadcast_to(p[:br, None], (br, n) + p.shape[1:])
+                .reshape((bn,) + p.shape[1:])
+                for p in pyr_all
+            ]
+            pyr_n = [p[br:] for p in pyr_all]
+            ref = jnp.broadcast_to(
+                ref[:, None], (br, n) + ref.shape[1:]
+            ).reshape((bn,) + ref.shape[1:])
+        else:
+            pyr_r = pyramid(ref)
+            pyr_n = pyramid(nbr)
         levels = len(pyr_r)
         if stop_stage == "flow:pyr":
             return jnp.stack([jnp.mean(p.astype(jnp.float32))

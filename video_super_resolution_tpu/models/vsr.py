@@ -57,10 +57,9 @@ class VSRModel(nn.Module):
         nbr_idx = [i for i in range(t) if i != center]
         nbrs = jnp.stack([window[:, i] for i in nbr_idx], axis=1)      # (B,N,H,W,3)
 
-        # ---- flow: all neighbors in one batched program ----
-        ref_rep = jnp.broadcast_to(ref[:, None], (b, n, h, w, 3)).reshape(
-            b * n, h, w, 3
-        )
+        # ---- flow: all neighbors in one batched program; ref passed at
+        # its true batch so FlowNet builds its pyramid once (not once per
+        # neighbor — the dedup path in FlowNet.__call__) ----
         nbrs_flat = nbrs.reshape(b * n, h, w, 3)
         flow_stop = stop_stage if stop_stage.startswith("flow:") else ""
         flows = FlowNet(
@@ -74,7 +73,7 @@ class VSRModel(nn.Module):
             finest_level=cfg.flow_finest_level,
             warp_impl=cfg.warp_impl,
             name="flow_net",
-        )(ref_rep, nbrs_flat, stop_stage=flow_stop)                    # (B*N,H,W,2)
+        )(ref, nbrs_flat, stop_stage=flow_stop)                        # (B*N,H,W,2)
         if stop_stage == "flow" or flow_stop:
             return flows
 
@@ -101,12 +100,29 @@ class VSRModel(nn.Module):
             return ref_depth + jnp.float32(1e-20) * jnp.mean(flows)
 
         def encode(frames):  # shared frame encoder, any folded batch
+            # Packed-encoder experiment (round 5, MEASURED NEGATIVE —
+            # gate stays off): encoder conv2 is the chip's worst conv
+            # shape (64->64 at full res, 23 TF/s both impls) and packed
+            # it standalone runs 4.40 -> 1.90 ms at b=3 — but each
+            # pack/unpack relayout costs ~0.7 ms (not the ~0.25 HBM
+            # bound) and in-context they do not fuse: full model 63.41
+            # vs 62.20 ms/frame (interleaved A/B). The relayouts around
+            # an isolated packed pair eat the win; the SR trunk pays them
+            # once across 11 packed convs, which is why it stays packed.
+            import os
+
+            packed = (cfg.fusion_channels in (64, 128)
+                      and frames.shape[2] % 2 == 0
+                      and os.environ.get("VSR_ENC_PACK", "0") == "1")
             e = ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
                           dtype=self.dtype, use_pallas=self.use_pallas,
+                          out_packed=packed,
                           name="frame_encoder_0")(frames)
-            return ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
-                             dtype=self.dtype, use_pallas=self.use_pallas,
-                             name="frame_encoder_1")(e)
+            e = ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
+                          dtype=self.dtype, use_pallas=self.use_pallas,
+                          in_packed=packed,
+                          name="frame_encoder_1")(e)
+            return e
 
         if cfg.warp_features:
             # reference-era layout: encode every frame, warp 64ch features
