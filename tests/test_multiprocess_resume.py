@@ -3,14 +3,17 @@ VERDICT r2 missing #6): kill one worker mid-run right after a checkpoint,
 assert a clean relaunch restores the latest checkpoint and reproduces the
 uninterrupted run's loss curve bit-for-bit (CPU backend is deterministic).
 
-Load sensitivity (round-4 analysis): Gloo context formation uses the
-coordination KV store with a HARDCODED ~30 s deadline (not configurable
-from jax). The workers form their contexts via an early barrier (before
-compile skew) and this harness retries coordination flakes 3x with
-backoff — measured robust on a normal machine and alongside one chip
-benchmark; only extreme starvation of this 2-core host (multiple
-concurrent chip compiles + a second suite) can still exhaust the
-retries. That is an environment constraint, not a product defect.
+Load sensitivity (round-4 analysis, round-5 hardening): Gloo context
+formation uses the coordination KV store with a ~30 s deadline that
+jaxlib 0.9 hard-codes in C++ (``make_gloo_tcp_collectives`` exposes no
+timeout parameter — verified against its pybind signature). Round 5
+moves the rendezvous pressure onto the CONFIGURABLE coordination-service
+barrier instead: ``initialize_distributed`` holds all processes at a
+``wait_at_barrier`` (VSR_COORD_BARRIER_TIMEOUT_S, default 600 s) so the
+fixed Gloo window only covers context formation itself, never startup or
+compile skew. The 3x retry-with-backoff harness remains as a last-resort
+guard for extreme starvation of this 2-core host; each successful run
+prints ``COORD_RETRIES n`` so suite logs record whether it was needed.
 """
 
 import json
@@ -109,7 +112,11 @@ def _run_pair_retry(port_factory, ckpt_dir, steps, die_at=0, **kw):
     attempts = 3
     for i in range(attempts):
         try:
-            return _run_pair(port_factory(), ckpt_dir, steps, die_at, **kw)
+            out = _run_pair(port_factory(), ckpt_dir, steps, die_at, **kw)
+            # visible retry accounting (VERDICT r4 next #7: "retries
+            # logged at zero"): grep the suite output for COORD_RETRIES
+            print(f"COORD_RETRIES {i}", flush=True)
+            return out
         except _CoordFlake:
             if i == attempts - 1:
                 raise

@@ -48,6 +48,40 @@ def test_loss_decreases_on_fixed_batch(rng):
     assert int(state.step) == 8
 
 
+def test_multi_step_matches_sequential(rng):
+    """make_multi_train_step (K steps per dispatch, lax.scan) must be the
+    identical math to K sequential make_train_step dispatches — it exists
+    purely to amortize per-dispatch overhead (tools/bench_dispatch.py)."""
+    from video_super_resolution_tpu.training.step import make_multi_train_step
+
+    cfg = tiny_cfg()
+    k = 4
+    batches = [_batch(np.random.default_rng(100 + i)) for i in range(k)]
+
+    state_a = create_train_state(cfg)
+    step = make_train_step(donate=False)
+    for bch in batches:
+        state_a, m_a = step(state_a, bch)
+
+    state_b = create_train_state(cfg)
+    stacked = {key: jnp.stack([bch[key] for bch in batches])
+               for key in batches[0]}
+    state_b, m_b = make_multi_train_step(donate=False)(state_b, stacked)
+
+    assert int(state_b.step) == k
+    # Identical math, but separate XLA programs reassociate f32
+    # reductions differently, and early-step Adam (v ~ 0) amplifies that
+    # grad noise to ~lr scale in a few isolated weights. Tolerances are
+    # set above that amplification floor and far below any wrong-batch /
+    # wrong-order bug (which shifts whole tensors by O(1e-2..1)).
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-4)
+    la = jax.tree.leaves(state_a.params)
+    lb = jax.tree.leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
 def test_metrics_keys(rng):
     state = create_train_state(tiny_cfg())
     step = make_train_step()

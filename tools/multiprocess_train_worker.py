@@ -53,9 +53,10 @@ def run_worker(args) -> dict:
     initialize_distributed(f"localhost:{args.port}", args.nproc, args.pid)
     assert jax.process_count() == args.nproc
     # Establish the Gloo contexts NOW with a trivial cross-process
-    # barrier: the fixed ~30 s coordination deadline then only has to
-    # cover process-startup skew, not the load-dependent model-compile
-    # skew that flaked the suite under concurrent chip jobs (round 4).
+    # barrier. initialize_distributed has already held every process at a
+    # configurable coordination-service barrier (r5 hardening), so the
+    # fixed ~30 s Gloo deadline only covers this collective's own context
+    # formation — not startup or model-compile skew (the r4 flake mode).
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices("gloo_warmup")

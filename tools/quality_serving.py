@@ -42,6 +42,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 ARTIFACT = os.path.join(REPO, "artifacts", "QUALITY_serving_r4.json")
+# hard-regime (25-32 dB) runs land in the r5 artifact (VERDICT r4 next #3)
+ARTIFACT_R5 = os.path.join(REPO, "artifacts", "QUALITY_serving_r5.json")
 CKPT_ROOT = "/tmp/vsr_quality_r4"
 
 EVAL_HR_H, EVAL_HR_W = 1152, 2048     # LR 288x512
@@ -64,6 +66,12 @@ def production_cfg(variant: str, steps: int):
         model_kw["sr_espcn_mid"] = 64
     elif variant == "espcn_d4":
         model_kw["depth_res_divisor"] = 4
+    elif variant == "hard":
+        # hard-regime run on the SERVING configuration (divisor 4 =
+        # serving_config default)
+        model_kw["depth_res_divisor"] = 4
+    elif variant == "hard_d2":
+        pass                      # hard-regime control at divisor 2
     elif variant != "espcn":
         raise ValueError(f"unknown variant {variant}")
     model = dataclasses.replace(cfg.model, **model_kw)
@@ -99,6 +107,45 @@ def make_train_clips():
     return clips
 
 
+def make_train_clips_hard():
+    """9 hard-regime clips at 384x512 HR (full-spectrum textures so the
+    converged model lives in the 25-32 dB regime — VERDICT r4 next #3):
+    3 occlusion/layered, 2 detail translations, 2 shears at flow gradients
+    0.33 / 0.71 px/px-per-frame (at and beyond the warp tap budget), 1
+    hard zoom, 1 noisy translation."""
+    import numpy as np
+
+    from video_super_resolution_tpu.data.synthetic import (
+        add_noise,
+        detail_clip,
+        layered_clip,
+        shear_clip,
+        zooming_clip,
+    )
+
+    rng = np.random.default_rng(4321)
+    clips = {}
+    for i in range(3):
+        clips[f"htrain_occ{i}"] = layered_clip(
+            FRAMES, TRAIN_HR_H, TRAIN_HR_W, seed=500 + i, n_layers=3,
+            max_speed=3.0)
+    for i in range(2):
+        dx = float(rng.uniform(-5, 5))
+        dy = float(rng.uniform(-5, 5))
+        clips[f"htrain_tex{i}"] = detail_clip(
+            FRAMES, TRAIN_HR_H, TRAIN_HR_W, dx, dy, seed=510 + i)
+    clips["htrain_shear0"] = shear_clip(FRAMES, TRAIN_HR_H, TRAIN_HR_W,
+                                        amp=2.5, wavelength=48, seed=520)
+    clips["htrain_shear1"] = shear_clip(FRAMES, TRAIN_HR_H, TRAIN_HR_W,
+                                        amp=3.5, wavelength=31, seed=521)
+    clips["htrain_zoom"] = zooming_clip(FRAMES, TRAIN_HR_H, TRAIN_HR_W,
+                                        1.02, seed=530, rough=0.85)
+    clips["htrain_noise"] = add_noise(
+        detail_clip(FRAMES, TRAIN_HR_H, TRAIN_HR_W, 2.0, 1.0, seed=540),
+        0.02, seed=541)
+    return clips
+
+
 def make_eval_clips():
     """3 held-out clips at 1152x2048 HR: slow + fast translation, zoom."""
     from video_super_resolution_tpu.data.synthetic import (
@@ -114,11 +161,40 @@ def make_eval_clips():
     return {"eval_slow": slow, "eval_fast": fast, "eval_zoom": zoom}
 
 
-def merge_artifact(update: dict):
-    os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
+def make_eval_clips_hard():
+    """6 held-out hard-regime clips at 1152x2048 HR. Flow-gradient figures
+    are px/px per frame step; 0.71 is ~2x the warp kernel's in-tile tap
+    budget (the clamping regime)."""
+    from video_super_resolution_tpu.data.synthetic import (
+        add_noise,
+        detail_clip,
+        layered_clip,
+        shear_clip,
+        zooming_clip,
+    )
+
+    return {
+        "heval_tex": detail_clip(FRAMES, EVAL_HR_H, EVAL_HR_W, 1.7, -1.1,
+                                 seed=600),
+        "heval_occ": layered_clip(FRAMES, EVAL_HR_H, EVAL_HR_W, seed=601,
+                                  n_layers=3, max_speed=3.0),
+        "heval_shear033": shear_clip(FRAMES, EVAL_HR_H, EVAL_HR_W, amp=2.5,
+                                     wavelength=48, seed=602),
+        "heval_shear071": shear_clip(FRAMES, EVAL_HR_H, EVAL_HR_W, amp=3.5,
+                                     wavelength=31, seed=603),
+        "heval_noise": add_noise(
+            detail_clip(FRAMES, EVAL_HR_H, EVAL_HR_W, 2.0, 1.0, seed=604),
+            0.02, seed=605),
+        "heval_zoom": zooming_clip(FRAMES, EVAL_HR_H, EVAL_HR_W, 1.012,
+                                   seed=606, rough=0.85),
+    }
+
+
+def merge_artifact(update: dict, path: str = ARTIFACT):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     rec = {}
-    if os.path.exists(ARTIFACT):
-        with open(ARTIFACT) as f:
+    if os.path.exists(path):
+        with open(path) as f:
             rec = json.load(f)
     # one-level-deep merge per variant
     for k, v in update.items():
@@ -126,8 +202,12 @@ def merge_artifact(update: dict):
             rec[k].update(v)
         else:
             rec[k] = v
-    with open(ARTIFACT, "w") as f:
+    with open(path, "w") as f:
         json.dump(rec, f, indent=2, sort_keys=True)
+
+
+def artifact_for(variant: str) -> str:
+    return ARTIFACT_R5 if variant.startswith("hard") else ARTIFACT
 
 
 def ckpt_path(variant: str) -> str:
@@ -145,7 +225,8 @@ def cmd_train(args):
     from video_super_resolution_tpu.training.step import make_train_step
 
     cfg = production_cfg(args.variant, args.steps)
-    clips = make_train_clips()
+    clips = (make_train_clips_hard() if args.variant.startswith("hard")
+             else make_train_clips())
     ds = ClipDataset(clips_hr=clips, window=cfg.model.window,
                      scale=cfg.model.scale, crop_size=cfg.data.crop_size,
                      augment=True, seed=0)
@@ -185,7 +266,7 @@ def cmd_train(args):
         "train_s": round(train_s, 1),
         "steps_per_s": round(args.steps / train_s, 2),
         "loss_curve": log[:: max(1, len(log) // 20)],
-    }}})
+    }}}, artifact_for(args.variant))
     print(f"saved {path} ({train_s:.0f}s)", flush=True)
 
 
@@ -237,7 +318,8 @@ def cmd_eval(args):
     params = flax.serialization.from_bytes(tmpl, raw)
     params = jax.tree.map(jnp.asarray, params)
 
-    clips = make_eval_clips()
+    clips = (make_eval_clips_hard() if args.variant.startswith("hard")
+             else make_eval_clips())
     ds = ClipDataset(clips_hr=clips, window=cfg.model.window,
                      scale=cfg.model.scale, augment=False)
     t0 = time.time()
@@ -258,7 +340,8 @@ def cmd_eval(args):
         "eval_s": round(eval_s, 1),
         "lr_shape": [288, 512],
     }
-    merge_artifact({args.variant: {f"eval_{args.path}": out}})
+    merge_artifact({args.variant: {f"eval_{args.path}": out}},
+                   artifact_for(args.variant))
     print(json.dumps({args.path: out}), flush=True)
 
 
@@ -267,13 +350,15 @@ def main():
     sub = ap.add_subparsers(dest="cmd", required=True)
     tp = sub.add_parser("train")
     tp.add_argument("--variant", default="espcn",
-                    choices=("espcn", "two_stage", "espcn_mid", "espcn_d4"))
+                    choices=("espcn", "two_stage", "espcn_mid", "espcn_d4",
+                             "hard", "hard_d2"))
     tp.add_argument("--steps", type=int, default=12000)
     tp.add_argument("--log-every", type=int, default=200)
     tp.set_defaults(fn=cmd_train)
     ep = sub.add_parser("eval")
     ep.add_argument("--variant", default="espcn",
-                    choices=("espcn", "two_stage", "espcn_mid", "espcn_d4"))
+                    choices=("espcn", "two_stage", "espcn_mid", "espcn_d4",
+                             "hard", "hard_d2"))
     ep.add_argument("--path", default="serving", choices=tuple(EVAL_PATHS))
     ep.add_argument("--batch-windows", type=int, default=4)
     ep.set_defaults(fn=cmd_eval)

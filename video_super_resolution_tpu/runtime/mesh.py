@@ -73,10 +73,34 @@ def initialize_distributed(coordinator: Optional[str] = None,
     On real pods jax.distributed discovers peers from the TPU environment;
     explicit args are for DCN-only or manual launches. Safe to skip on a
     single host.
+
+    Gloo-deadline hardening (VERDICT r4 next #7): on the CPU backend the
+    first collective forms Gloo TCP contexts under a ~30 s rendezvous
+    deadline that jaxlib 0.9 hard-codes in C++ — ``make_gloo_tcp_collectives
+    (distributed_client, hostname, interface)`` exposes no timeout knob, so
+    it cannot be raised from Python. What IS configurable is the
+    coordination-service barrier, so after initialize we hold every process
+    at a ``wait_at_barrier`` whose timeout comes from
+    ``VSR_COORD_BARRIER_TIMEOUT_S`` (default 600 s). Processes leave that
+    barrier within microseconds of each other, so the fixed 30 s Gloo
+    window then only has to cover context formation itself — never
+    process-startup or compile skew (the round-4 flake mode). Callers
+    should still run their first tiny collective (e.g.
+    ``multihost_utils.sync_global_devices``) immediately afterwards, before
+    any compile-heavy work.
     """
     if num_processes is not None and num_processes > 1:
+        import os
+
+        timeout_s = int(os.environ.get("VSR_COORD_BARRIER_TIMEOUT_S", "600"))
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
+            initialization_timeout=timeout_s,
         )
+        from jax._src import distributed as _dist
+
+        client = getattr(_dist.global_state, "client", None)
+        if client is not None:
+            client.wait_at_barrier("vsr_pre_gloo", timeout_s * 1000, None)

@@ -31,7 +31,11 @@ def make_train_step(
     batch: {"lr": (B,T,h,w,3), "hr": (B,H,W,3)}. With a mesh, batch inputs
     are constrained to be sharded over the "data" axis and params replicated.
     """
+    step = _step_body(charbonnier_eps, mesh)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
+
+def _step_body(charbonnier_eps: float, mesh: Optional[Mesh]):
     def loss_fn(params, apply_fn, batch):
         pred = apply_fn({"params": params}, batch["lr"])
         loss = charbonnier_loss(pred, batch["hr"], charbonnier_eps)
@@ -58,7 +62,32 @@ def make_train_step(
         }
         return state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step
+
+
+def make_multi_train_step(
+    charbonnier_eps: float = 1e-6,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, dict], Tuple[TrainState, dict]]:
+    """K steps per dispatch: ``multi_step(state, batches)`` scans the train
+    step over a leading stack axis ({"lr": (K,B,T,h,w,3), "hr":
+    (K,B,H,W,3)}) and returns the LAST step's metrics.
+
+    Rationale (VERDICT r4 next #4): through the experimental axon tunnel a
+    host-driven python loop ceilings on per-dispatch overhead, not device
+    time (the dispatch-only control in tools/bench_dispatch.py measures the
+    ceiling). Chaining K steps inside one program amortizes that overhead
+    K-fold while the host pre-stacks the next K batches; numerics are the
+    identical step applied K times. K is implicit in the batch stack (one
+    compile per distinct K)."""
+    step = _step_body(charbonnier_eps, mesh)
+
+    def multi(state: TrainState, batches: dict):
+        state, ms = jax.lax.scan(step, state, batches)
+        return state, jax.tree.map(lambda m: m[-1], ms)
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
 def optax_global_norm(tree) -> jax.Array:
