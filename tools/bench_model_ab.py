@@ -98,6 +98,14 @@ def main():
                 (t[2:] for t in parts[2:] if t.startswith("th")), "8")
             os.environ["VSR_ENC_PACK"] = (
                 "1" if "encpack" in parts[2:] else "0")
+            os.environ["VSR_CONV_PPKCAT"] = (
+                "1" if "ppkcat" in parts[2:] else "0")
+            os.environ["VSR_FUSION_PACK"] = (
+                "1" if "fusepack" in parts[2:] else "0")
+            os.environ["VSR_SCORE_PACK"] = (
+                "1" if "scorepack" in parts[2:] else "0")
+            os.environ["VSR_EST_CONV"] = (
+                "xla" if "estxla" in parts[2:] else "")
             cfg = base.replace(
                 model=dataclasses.replace(base.model, warp_impl=warp_impl))
             state = create_train_state(cfg)

@@ -93,6 +93,25 @@ def use_pallas_conv(impl: Optional[str], h: int, w: int, cin: int,
     return (not should_interpret()) and pallas_conv_wins(h, w, cin, cout)
 
 
+def thin_conv9(x: jax.Array, k: jax.Array, dtype) -> jax.Array:
+    """3x3 SAME conv with a THIN input (cx of 1-2 channels) as im2col +
+    ONE matmul: an XLA conv at cin 1-2 deoptimizes in-context (measured
+    +7 ms/frame — the r3 correlation context pathology); the 9-tap concat
+    of thin maps is small and the dot is a single well-shaped MXU pass.
+    Returns f32 (B, H, W, Cout)."""
+    bx, hx, wx, cx = x.shape
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    t = jnp.concatenate(
+        [xp[:, dy:dy + hx, dx:dx + wx, :]
+         for dy in range(3) for dx in range(3)], axis=-1)
+    k9 = k.reshape(9 * cx, k.shape[-1])
+    return jax.lax.dot_general(
+        t.reshape(-1, 9 * cx), k9.astype(dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(bx, hx, wx, k.shape[-1])
+
+
 class ConvLReLU(nn.Module):
     """3x3 conv + bias + LeakyReLU — the workhorse block.
 
@@ -116,10 +135,19 @@ class ConvLReLU(nn.Module):
     # layout between calls changes (SRHead packed trunk).
     in_packed: bool = False
     out_packed: bool = False
+    # in_seg: x is a lane-CONCAT of two packed-(C/2) groups (e.g. the
+    # fusion tail's [ref_feat | agg]); the kernel permutes weight rows.
+    in_seg: bool = False
 
     @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1] // 2 if self.in_packed else x.shape[-1]
+    def __call__(self, x, guide=None):
+        """guide: optional thin (B, H, W, Cg) UNPACKED trailing channels.
+        The param kernel keeps the full (k, k, cin + Cg, F) concat shape
+        (checkpoint-identical to a conv on the channel concat); the guide
+        contribution runs as an im2col matmul (thin_conv9) folded into the
+        packed conv's res operand — identical math by linearity."""
+        gch = 0 if guide is None else guide.shape[-1]
+        cin = (x.shape[-1] // 2 if self.in_packed else x.shape[-1]) + gch
         kern = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -136,11 +164,22 @@ class ConvLReLU(nn.Module):
             )
             from video_super_resolution_tpu.ops.pallas.util import should_interpret
 
+            res = None
+            kmain = kern
+            if guide is not None:
+                kmain = kern[:, :, : cin - gch]
+                res = thin_conv9(
+                    guide, kern[:, :, cin - gch:], self.dtype
+                ).astype(self.dtype)
+                if self.out_packed:
+                    rb, rh, rw, rc = res.shape
+                    res = res.reshape(rb, rh, rw // 2, 2 * rc)
             return fused_conv3x3_packed(
-                x.astype(self.dtype), kern.astype(self.dtype),
+                x.astype(self.dtype), kmain.astype(self.dtype),
                 bias.astype(self.dtype), self.slope, self.in_packed,
-                self.out_packed, should_interpret(),
+                self.out_packed, should_interpret(), res, 1, self.in_seg,
             )
+        assert guide is None, "guide channels need the packed path"
         # dilated kernel support exists (d<=8) but measured neutral vs XLA
         # in-context (flow 18.6->18.9ms with ctx convs routed), so AUTO
         # routing keeps d==1 only; explicit use_pallas opts dilated in.

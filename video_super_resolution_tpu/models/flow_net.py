@@ -42,11 +42,24 @@ class DenseFlowEstimator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        import contextlib
+        import os
+
+        from video_super_resolution_tpu.models.common import force_conv_impl
+
+        # A/B hook (r5 flow bisect: the finest estimator is 8.4 ms at
+        # ~18 TF/s — dense-concat growth + 128-lane pad copies around the
+        # kernels): VSR_EST_CONV=xla routes JUST the estimator convs to
+        # XLA's emitter for the trace.
+        ctx = (force_conv_impl("xla")
+               if os.environ.get("VSR_EST_CONV", "") == "xla"
+               else contextlib.nullcontext())
         feats = x
-        for c in self.channels:
-            out = ConvLReLU(c, slope=self.slope, dtype=self.dtype,
-                            use_pallas=self.use_pallas)(feats)
-            feats = jnp.concatenate([feats, out], axis=-1)
+        with ctx:
+            for c in self.channels:
+                out = ConvLReLU(c, slope=self.slope, dtype=self.dtype,
+                                use_pallas=self.use_pallas)(feats)
+                feats = jnp.concatenate([feats, out], axis=-1)
         # cout=2 convs idle 126/128 MXU lanes; the contraction formulation
         # (models/common.SmallOutConv) keeps the flow residual f32-pinned
         flow = SmallOutConv(2, dtype=jnp.float32,

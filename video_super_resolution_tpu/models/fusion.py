@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from video_super_resolution_tpu.models.common import ConvLReLU
+from video_super_resolution_tpu.ops.pallas.util import should_interpret
 
 
 class ScoreConv(nn.Module):
@@ -88,9 +89,6 @@ class ScoreConv(nn.Module):
             if fast:
                 from video_super_resolution_tpu.ops.pallas.fused_conv import (
                     fused_conv3x3,
-                )
-                from video_super_resolution_tpu.ops.pallas.util import (
-                    should_interpret,
                 )
 
                 bz = (jnp.zeros((k.shape[-1],), dt) if bias_ is None
@@ -162,6 +160,45 @@ class ScoreConv(nn.Module):
             s = conv(nbr_flat[..., :f], kern[:, :, cr:cr + f],
                      bias_=bias, slope=self.slope, res=d_nbr)
             return s.reshape(b, n, h, w, self.features)
+        # Packed score convs (round 5, VSR_SCORE_PACK): the wide F-channel
+        # halves run pixel-pair-packed (dense K=128/N=128 — the measured
+        # 2x rate at 64-ch shapes) and the thin guide channels (depth,
+        # |ddiff|) fold in through thin_conv9 + the res operand. Differs
+        # from the r5 guide-split negative result in that the WIDE convs
+        # change rate class, not just the glue. Output stays packed for
+        # the packed Score1 + aggregation path.
+        if (fast and split_at and split_at == cn - 2 and w % 2 == 0
+                and self.features == split_at and split_at in (64, 128)
+                and os.environ.get(
+                    "VSR_SCORE_PACK",
+                    "0" if should_interpret() else "1") == "1"
+                and stop_stage != "fusion:sref"):
+            from video_super_resolution_tpu.models.common import thin_conv9
+            from video_super_resolution_tpu.ops.pallas.fused_conv import (
+                fused_conv3x3_packed,
+            )
+
+            f = split_at
+            wh = w // 2
+            nbr_flat = nbr_in.reshape(b * n, h, w, cn)
+            d_ref = thin_conv9(ref_in[..., f:], kern[:, :, f:cr], dt)
+            s_ref = fused_conv3x3_packed(
+                ref_in[..., :f].reshape(b, h, wh, 2 * f).astype(dt),
+                kern[:, :, :f].astype(dt),
+                jnp.zeros((self.features,), dt), 1.0, True, True,
+                should_interpret(),
+                d_ref.reshape(b, h, wh, 2 * self.features).astype(dt),
+            )                                           # (B, h, wh, 2F)
+            d_nbr = thin_conv9(nbr_flat[..., f:], kern[:, :, cr + f:], dt)
+            res = (d_nbr.reshape(b, n, h, wh, 2 * self.features)
+                   .astype(dt) + s_ref[:, None]).reshape(
+                       b * n, h, wh, 2 * self.features)
+            s = fused_conv3x3_packed(
+                nbr_flat[..., :f].reshape(b * n, h, wh, 2 * f).astype(dt),
+                kern[:, :, cr:cr + f].astype(dt), bias.astype(dt),
+                self.slope, True, True, should_interpret(), res,
+            )
+            return s.reshape(b, n, h, wh, 2 * self.features)  # PACKED
         if fast:
             s_ref = conv(ref_in, kern[:, :, :cr])             # (B,H,W,F) dt
             if stop_stage == "fusion:sref":
@@ -199,13 +236,49 @@ class Score1(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        b, h, w, f = x.shape
+    def __call__(self, x: jax.Array, packed: bool = False) -> jax.Array:
+        """packed: x is (B, H, W/2, 2F) pixel-pair-packed; returns
+        (B, H, W/2, 2) — lane 0/1 = even/odd pixel scores. The contraction
+        becomes one (2F, 18) block-diagonal matmul and the 9 shifted-tap
+        adds split per parity (a horizontal shift of 1 pixel crosses the
+        pair boundary, so even/odd pixels read different tap lanes of the
+        left/right PAIR)."""
+        if packed:
+            b, h, wh, f2 = x.shape
+            f = f2 // 2
+        else:
+            b, h, w, f = x.shape
         kern = self.param("kernel", nn.initializers.lecun_normal(),
                           (3, 3, f, 1), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
         # (3,3,F,1) -> (F, 9) with tap index dy*3+dx on the minor axis
         k9 = kern[..., 0].transpose(2, 0, 1).reshape(f, 9)
+        if packed:
+            z = jnp.zeros_like(k9)
+            k2 = jnp.concatenate([
+                jnp.concatenate([k9, z], axis=1),
+                jnp.concatenate([z, k9], axis=1),
+            ], axis=0)                                       # (2F, 18)
+            u = jax.lax.dot_general(
+                x.reshape(b * h * wh, f2).astype(self.dtype),
+                k2.astype(self.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(b, h, wh, 18)
+            up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            u0 = up[..., :9]
+            u1 = up[..., 9:]
+            out_e = bias[0]
+            out_o = bias[0]
+            for dy in range(3):
+                ys = slice(dy, dy + h)
+                out_e = (out_e + u1[:, ys, 0:wh, dy * 3]
+                         + u0[:, ys, 1:wh + 1, dy * 3 + 1]
+                         + u1[:, ys, 1:wh + 1, dy * 3 + 2])
+                out_o = (out_o + u0[:, ys, 1:wh + 1, dy * 3]
+                         + u1[:, ys, 1:wh + 1, dy * 3 + 1]
+                         + u0[:, ys, 2:wh + 2, dy * 3 + 2])
+            return jnp.stack([out_e, out_o], axis=-1)        # (B,H,W/2,2)
         u = jax.lax.dot_general(
             x.reshape(b * h * w, f).astype(self.dtype), k9.astype(self.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -223,6 +296,9 @@ class DepthGuidedFusion(nn.Module):
     slope: float = 0.1
     use_pallas: bool = False
     dtype: Any = jnp.float32
+    # emit h2 in the pixel-pair-packed layout (the SR head consumes it
+    # packed and the trunk is already packed — saves its entry relayout)
+    out_packed: bool = False
 
     @nn.compact
     def __call__(
@@ -263,18 +339,58 @@ class DepthGuidedFusion(nn.Module):
             return s
         if stop_stage == "fusion:score":
             return s
-        s = Score1(self.features, dtype=dt)(
-            s.reshape(b * n, h, w, self.features))
-        scores = s.reshape(b, n, h, w, 1)
-        if stop_stage == "fusion:score1":
-            return scores
-        weights = jax.nn.softmax(scores, axis=1)                      # over neighbors
+        score_packed = s.shape[3] != w                 # (B,N,H,W/2,2F)
+        if score_packed:
+            wh = s.shape[3]
+            scores = Score1(self.features, dtype=dt)(
+                s.reshape(b * n, h, wh, 2 * self.features), packed=True
+            ).reshape(b, n, h, wh, 2)
+            if stop_stage == "fusion:score1":
+                return scores
+            weights = jax.nn.softmax(scores, axis=1)   # over neighbors
+            wf_p = warped_feats.reshape(b, n, h, wh, 2 * f)
+            agg = jnp.sum(
+                jnp.repeat(weights.astype(jnp.float32), f, axis=-1)
+                * wf_p.astype(jnp.float32), axis=1)    # (B,H,W/2,2F) packed
+        else:
+            s = Score1(self.features, dtype=dt)(
+                s.reshape(b * n, h, w, self.features))
+            scores = s.reshape(b, n, h, w, 1)
+            if stop_stage == "fusion:score1":
+                return scores
+            weights = jax.nn.softmax(scores, axis=1)              # over neighbors
 
-        agg = jnp.sum(weights.astype(jnp.float32)
-                      * warped_feats.astype(jnp.float32), axis=1)     # (B,H,W,F)
+            agg = jnp.sum(weights.astype(jnp.float32)
+                          * warped_feats.astype(jnp.float32), axis=1)  # (B,H,W,F)
         if stop_stage == "fusion:agg":
             return agg
+        if score_packed and not (self.out_packed and f == self.features
+                                 and f in (64, 128)):
+            agg = agg.reshape(b, h, w, f)              # unpacked tail follows
+            score_packed = False
 
+        # Packed fusion tail (round 5, VSR_FUSION_PACK): h1's input
+        # [ref_feat, agg, depth] is 2F+1 channels — on the kernel route the
+        # 129 -> 256 lane pad copies the whole activation AND doubles the
+        # MXU K side. Packed instead: [ref_feat | agg] is a lane-concat of
+        # two packed-64 arrays (a SEGMENTED packed-128 input, exact K; the
+        # kernel permutes weight rows), the depth channel folds in as a
+        # thin_conv9 res operand, and h2 + the SR trunk entry stay packed.
+        # Param tree byte-identical; math identical by conv linearity.
+        if (self.out_packed and f == self.features and w % 2 == 0
+                and f in (64, 128)):
+            rp = ref_feat.reshape(b, h, w // 2, 2 * f)
+            ap = (agg if score_packed
+                  else agg.reshape(b, h, w // 2, 2 * f)).astype(dt)
+            x = jnp.concatenate([rp, ap], axis=-1)
+            h1 = ConvLReLU(self.features, slope=self.slope, dtype=dt,
+                           in_packed=True, out_packed=True, in_seg=True,
+                           name="ConvLReLU_0")(
+                               x, guide=ref_depth32.astype(dt))
+            h2 = ConvLReLU(self.features, slope=self.slope, dtype=dt,
+                           in_packed=True, out_packed=True,
+                           name="ConvLReLU_1")(h1)
+            return h2                               # (B, H, W/2, 2F) packed
         fused_in = jnp.concatenate(
             [ref_feat, agg.astype(dt), ref_depth32.astype(dt)], axis=-1
         )

@@ -44,6 +44,7 @@ class SRHead(nn.Module):
     espcn_mid: int = 0
     use_pallas: bool = False
     dtype: Any = jnp.float32
+    in_packed: bool = False     # `fused` arrives pixel-pair-packed
 
     @nn.compact
     def __call__(self, fused: jax.Array, ref_frame: jax.Array,
@@ -61,10 +62,11 @@ class SRHead(nn.Module):
         # subpixel conv. Residual adds are layout-invariant; the param tree
         # is byte-identical to the unpacked trunk. Engages at production
         # widths with even W; other shapes keep the unpacked routing.
-        packed = (self.style == "espcn" and self.features in (64, 128)
-                  and fused.shape[2] % 2 == 0)
+        packed = self.in_packed or (
+            self.style == "espcn" and self.features in (64, 128)
+            and fused.shape[2] % 2 == 0)
         h = ConvLReLU(self.features, slope=self.slope, dtype=dt,
-                      use_pallas=self.use_pallas,
+                      use_pallas=self.use_pallas, in_packed=self.in_packed,
                       out_packed=packed)(fused.astype(dt))
         trunk_in = h
         for _ in range(self.blocks):

@@ -163,22 +163,48 @@ class VSRModel(nn.Module):
                 jnp.mean(warped_feats) + jnp.mean(warped_depths)
             ).astype(ref_feat.dtype)
 
+        import os as _os
+
+        # packed fusion tail -> packed SR-head entry (one less relayout;
+        # gated while being A/B-measured on chip)
+        from video_super_resolution_tpu.ops.pallas.util import should_interpret
+
+        # default ON on the compiled TPU route (A/B: 62.07 -> 61.38
+        # ms/frame with the packed score conv path on top taking it to
+        # 58.8); OFF under interpret/CPU so the golden fixtures and CPU
+        # tests keep the reference layout (the packed tail is f32-exact
+        # but rounds differently in bf16).
+        _pack_default = "0" if should_interpret() else "1"
+        fusion_packed = (
+            cfg.sr_head_style == "espcn"
+            and cfg.fusion_channels in (64, 128)
+            and cfg.sr_channels == cfg.fusion_channels
+            and w % 2 == 0 and w0 % 2 == 0
+            and _os.environ.get("VSR_FUSION_PACK", _pack_default) == "1")
         fused = DepthGuidedFusion(
             features=cfg.fusion_channels, slope=cfg.lrelu_slope,
             dtype=self.dtype, use_pallas=self.use_pallas, name="fusion",
+            out_packed=fusion_packed,
         )(ref_feat, warped_feats, ref_depth, warped_depths,
           stop_stage=stop_stage if stop_stage.startswith("fusion:") else "")
         if stop_stage == "fusion" or stop_stage.startswith("fusion:"):
             return fused
+        fusion_packed = fusion_packed and fused.ndim == 4 and (
+            fused.shape[-1] == 2 * cfg.fusion_channels)
 
-        # crop padding off before the SR head so HR output is exactly 4x input
-        fused = crop_to(fused, h0, w0)
+        # crop padding off before the SR head so HR output is exactly 4x
+        # input (packed layout: the W crop halves)
+        if fusion_packed:
+            fused = fused[:, :h0, : w0 // 2, :]
+        else:
+            fused = crop_to(fused, h0, w0)
         ref_c = crop_to(ref, h0, w0)
         hr = SRHead(
             features=cfg.sr_channels, blocks=cfg.sr_blocks, scale=cfg.scale,
             slope=cfg.lrelu_slope, style=cfg.sr_head_style,
             wide_blocks=cfg.sr_wide_blocks, espcn_mid=cfg.sr_espcn_mid,
             dtype=self.dtype, use_pallas=self.use_pallas, name="sr_head",
+            in_packed=fusion_packed,
         )(fused, ref_c, stop_stage=stop_stage)
 
         if return_aux:

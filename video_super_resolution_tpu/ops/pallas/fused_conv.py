@@ -170,8 +170,25 @@ def _conv_kernel(xp_ref, w_ref, b_ref, *rest, th, w, cin, cout, slope, ny,
     out_ref[0] = acc.reshape(th, w, cout).astype(out_ref.dtype)
 
 
+def _seg_perm(cin: int):
+    """Row permutation mapping the standard packed-128 weight order to the
+    SEGMENTED packed layout (a lane-concat of two packed-64 arrays).
+
+    Standard packed lane order for a 2*cin-channel pixel pair is
+    [px0 c0..cin-1 | px1 c0..cin-1]; a lane-concat of two packed-(cin/2)
+    groups gives [px0 g0 | px1 g0 | px0 g1 | px1 g1]. Channel-concat of
+    packed activations is a plain lane-concat under this permutation —
+    no relayout (the fusion tail's [ref_feat | agg] input)."""
+    import numpy as np
+
+    half = cin // 2
+    blocks = [range(0, half), range(cin, cin + half),
+              range(half, cin), range(cin + half, 2 * cin)]
+    return np.concatenate([np.asarray(list(r)) for r in blocks])
+
+
 def _ppack_conv(x, w, b, slope, shuffle, interpret, res, res_repeat,
-                in_packed=False, out_packed=False):
+                in_packed=False, out_packed=False, in_seg=False):
     """Pixel-pair-packed conv (see _ppack_weights). Layouts:
 
     - in_packed=False: x is (B, H, W, Cin), viewed as (B, H, W/2, 2*Cin)
@@ -201,10 +218,19 @@ def _ppack_conv(x, w, b, slope, shuffle, interpret, res, res_repeat,
     th = _pick_th(h, int(os.environ.get("VSR_CONV_TH", "8")))
     whp = (wh + 2 + 7) // 8 * 8
     budget_mb = int(os.environ.get("VSR_CONV_VMEM_MB", "6"))
+    # K-concat for the packed path (round 5): one K=3*lane dot per kx
+    # instead of 3 — the f32 accumulator is read-modify-written 3x per
+    # strip instead of 9x (the r4 accumulator-traffic finding). The
+    # (TH*W, 3*lane) operand build needs its own VMEM headroom, counted
+    # below next to the strips/acc.
+    kcat = (res is None
+            and os.environ.get("VSR_CONV_PPKCAT", "0") == "1")
     while th > 1 and (
             2 * (th + 2) * whp * lane * x.dtype.itemsize
             + (2 * th * wh * cout2 * (res.dtype.itemsize + x.dtype.itemsize)
                if res is not None else 0)
+            + (th * wh * 3 * lane * x.dtype.itemsize
+               + th * wh * cout2 * 4 if kcat else 0)
             > budget_mb << 20):
         th //= 2
     if h % th:
@@ -212,6 +238,8 @@ def _ppack_conv(x, w, b, slope, shuffle, interpret, res, res_repeat,
     xp = x if in_packed else x.reshape(bsz, h, wh, lane)
     xp = jnp.pad(xp, ((0, 0), (1, 1), (1, whp - wh - 1), (0, 0)))
     wk = _ppack_weights(w)                                  # (3,3,2Ci,2Co)
+    if in_seg:
+        wk = wk[:, :, _seg_perm(cin), :]
     bb = jnp.concatenate([b, b])
     ny = h // th
     n_steps = bsz * ny
@@ -238,7 +266,7 @@ def _ppack_conv(x, w, b, slope, shuffle, interpret, res, res_repeat,
         functools.partial(
             _conv_kernel, th=th, w=wh, cin=lane, cout=cout2, slope=slope,
             ny=ny, n_steps=n_steps, kpair=False, d=1,
-            has_res=res is not None, kcat=False,
+            has_res=res is not None, kcat=kcat,
         ),
         grid=(n_steps,),
         in_specs=in_specs,
@@ -271,13 +299,21 @@ def _ppack_conv(x, w, b, slope, shuffle, interpret, res, res_repeat,
     return out
 
 
-def _packed_ref(x, w, b, slope, in_packed, out_packed, res, res_repeat):
+def _packed_ref(x, w, b, slope, in_packed, out_packed, res, res_repeat,
+                in_seg=False):
     """XLA reference semantics of fused_conv3x3_packed (also the fallback
     and VJP-recompute path): unpack -> conv+bias(+res)+lrelu -> repack."""
     cin, cout = w.shape[2], w.shape[3]
     if in_packed:
         bsz, h, wh, _ = x.shape
-        x = x.reshape(bsz, h, 2 * wh, cin)
+        if in_seg:
+            # segmented layout [px0 g0 | px1 g0 | px0 g1 | px1 g1]
+            half = cin // 2
+            x = (x.reshape(bsz, h, wh, 2, 2, half)
+                 .transpose(0, 1, 2, 4, 3, 5)
+                 .reshape(bsz, h, 2 * wh, cin))
+        else:
+            x = x.reshape(bsz, h, 2 * wh, cin)
     bsz, h, wd, _ = x.shape
     rn = res
     if res is not None and out_packed:
@@ -289,12 +325,13 @@ def _packed_ref(x, w, b, slope, in_packed, out_packed, res, res_repeat):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 8, 9))
 def fused_conv3x3_packed(x: jax.Array, w: jax.Array, b: jax.Array,
                          slope: float = 0.1, in_packed: bool = True,
                          out_packed: bool = True, interpret: bool = False,
                          res: jax.Array | None = None,
-                         res_repeat: int = 1) -> jax.Array:
+                         res_repeat: int = 1,
+                         in_seg: bool = False) -> jax.Array:
     """3x3 SAME conv + bias (+res) + LReLU in the PIXEL-PAIR-PACKED layout.
 
     A (B, H, W, C) activation is carried as (B, H, W/2, 2C) — two adjacent
@@ -310,30 +347,32 @@ def fused_conv3x3_packed(x: jax.Array, w: jax.Array, b: jax.Array,
     lane-concats (see ScoreConv/fusion packed paths).
     """
     out = _ppack_conv(x, w, b, slope, False, interpret, res, res_repeat,
-                      in_packed, out_packed)
+                      in_packed, out_packed, in_seg)
     if out is None:
         out = _packed_ref(x, w, b, slope, in_packed, out_packed, res,
-                          res_repeat)
+                          res_repeat, in_seg)
     return out
 
 
 def _fcp_fwd(x, w, b, slope, in_packed, out_packed, interpret, res,
-             res_repeat):
+             res_repeat, in_seg):
     return (fused_conv3x3_packed(x, w, b, slope, in_packed, out_packed,
-                                 interpret, res, res_repeat),
+                                 interpret, res, res_repeat, in_seg),
             (x, w, b, res))
 
 
-def _fcp_bwd(slope, in_packed, out_packed, interpret, res_repeat, saved, g):
+def _fcp_bwd(slope, in_packed, out_packed, interpret, res_repeat, in_seg,
+             saved, g):
     x, w, b, res = saved
     if res is None:
         _, vjp = jax.vjp(
             lambda a, ww, bb: _packed_ref(a, ww, bb, slope, in_packed,
-                                          out_packed, None, 1), x, w, b)
+                                          out_packed, None, 1, in_seg),
+            x, w, b)
         return (*vjp(g), None)
     _, vjp = jax.vjp(
         lambda a, ww, bb, r: _packed_ref(a, ww, bb, slope, in_packed,
-                                         out_packed, r, res_repeat),
+                                         out_packed, r, res_repeat, in_seg),
         x, w, b, res)
     return vjp(g)
 
