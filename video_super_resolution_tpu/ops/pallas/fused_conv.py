@@ -389,14 +389,18 @@ def _fused_conv_fwd(x, w, b, slope, shuffle, interpret, d=1, res=None,
     cin_p = (cin + 127) // 128 * 128
     if cin < 32:
         return _xla_conv(x, w, b, slope, shuffle, d, res, res_repeat)
-    # default OFF in-context (round 5): standalone the packed path wins the
-    # 64->64 shapes by 1.3-2x (0.87 ms vs 1.15 XLA at (1,544,960,64,64))
-    # but each bare call pays pack/unpack relayout boundaries that eat the
-    # gain inside the model (interleaved A/B: 68.95 vs 67.80 ms/frame).
-    # The model-side win is fused_conv3x3_packed with activations KEPT
-    # packed across ops (see SRHead packed trunk).
+    # Default ON since the packed score/fusion paths landed (r5): the
+    # measured matrix (interleaved A/B, 540x960 serving program) is
+    #   base + ppack 62.07 / base + noppack 61.94  (neutral alone)
+    #   score+fusion packed + ppack 58.21          (the serving default)
+    #   score+fusion packed + noppack 73.92        (XLA inserts ~12 ms of
+    #       relayouts between the unpacked per-call convs and the packed
+    #       activations around them)
+    # Early-r5 note for history: before the packed model paths, bare
+    # per-call packing measured 68.95 vs 67.80 (negative) — the boundaries
+    # only pay for themselves next to packed neighbors.
     if (cin == 64 and d == 1 and wd % 2 == 0
-            and os.environ.get("VSR_CONV_PPACK", "0") == "1"):
+            and os.environ.get("VSR_CONV_PPACK", "1") == "1"):
         out = _ppack_conv(x, w, b, slope, shuffle, interpret, res, res_repeat)
         if out is not None:
             return out
