@@ -106,6 +106,12 @@ def main():
                 "1" if "scorepack" in parts[2:] else "0")
             os.environ["VSR_EST_CONV"] = (
                 "xla" if "estxla" in parts[2:] else "")
+            os.environ["VSR_SUBPIX_BF16"] = (
+                "1" if "subpixbf16" in parts[2:] else "0")
+            os.environ["VSR_THIN_CONV_IM2COL"] = (
+                "1" if "im2col" in parts[2:] else "0")
+            os.environ["VSR_SKIP_FOLD"] = (
+                "0" if "noskipfold" in parts[2:] else "1")
             cfg = base.replace(
                 model=dataclasses.replace(base.model, warp_impl=warp_impl))
             state = create_train_state(cfg)

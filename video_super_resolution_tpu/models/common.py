@@ -93,14 +93,16 @@ def use_pallas_conv(impl: Optional[str], h: int, w: int, cin: int,
     return (not should_interpret()) and pallas_conv_wins(h, w, cin, cout)
 
 
-def thin_conv9(x: jax.Array, k: jax.Array, dtype) -> jax.Array:
+def thin_conv9(x: jax.Array, k: jax.Array, dtype, pad_mode="constant") -> jax.Array:
     """3x3 SAME conv with a THIN input (cx of 1-2 channels) as im2col +
     ONE matmul: an XLA conv at cin 1-2 deoptimizes in-context (measured
     +7 ms/frame — the r3 correlation context pathology); the 9-tap concat
     of thin maps is small and the dot is a single well-shaped MXU pass.
-    Returns f32 (B, H, W, Cout)."""
+    pad_mode "edge" replicates the border (the bilinear-skip fold's clamp
+    semantics). Returns f32 (B, H, W, Cout)."""
     bx, hx, wx, cx = x.shape
-    xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)),
+                 mode=pad_mode)
     t = jnp.concatenate(
         [xp[:, dy:dy + hx, dx:dx + wx, :]
          for dy in range(3) for dx in range(3)], axis=-1)
@@ -180,6 +182,14 @@ class ConvLReLU(nn.Module):
                 self.out_packed, should_interpret(), res, 1, self.in_seg,
             )
         assert guide is None, "guide channels need the packed path"
+        # A/B hook: thin-input (cin<=4) stride-1 convs as im2col + one
+        # matmul (the frame/pyramid/depth entry convs at cin=3)
+        if (self.kernel == 3 and self.strides == 1 and self.dilation == 1
+                and cin <= 4
+                and os.environ.get("VSR_THIN_CONV_IM2COL", "0") == "1"):
+            out = thin_conv9(x, kern, self.dtype)
+            out = out + bias[None, None, None, :]
+            return lrelu(out, self.slope).astype(self.dtype)
         # dilated kernel support exists (d<=8) but measured neutral vs XLA
         # in-context (flow 18.6->18.9ms with ctx convs routed), so AUTO
         # routing keeps d==1 only; explicit use_pallas opts dilated in.
@@ -238,7 +248,10 @@ class RoutedConv(nn.Module):
     out_packed: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, res=None):
+        """res: optional (B, H, W, features) residual added to the conv
+        output PRE-cast (the bilinear-skip fold streams through the packed
+        kernel's res operand instead of a separate full-size add pass)."""
         cin = x.shape[-1] // 2 if self.in_packed else x.shape[-1]
         kern = self.param("kernel", nn.initializers.lecun_normal(),
                           (3, 3, cin, self.features), jnp.float32)
@@ -255,6 +268,7 @@ class RoutedConv(nn.Module):
                 x.astype(self.dtype), kern.astype(self.dtype),
                 bias.astype(jnp.float32).astype(self.dtype), 1.0,
                 self.in_packed, self.out_packed, should_interpret(),
+                res, 1,
             )
             return out.astype(odt)
         if use_pallas_conv(None, x.shape[1], x.shape[2], cin, self.features):
@@ -267,14 +281,17 @@ class RoutedConv(nn.Module):
             out = fused_conv3x3(
                 x.astype(self.dtype), kern.astype(self.dtype),
                 bias.astype(jnp.float32).astype(self.dtype), 1.0, False,
-                should_interpret(),
+                should_interpret(), 1, res, 1,
             )
             return out.astype(odt)
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kern.astype(self.dtype), (1, 1),
             ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return (out.astype(jnp.float32) + bias[None, None, None, :]).astype(odt)
+        out = out.astype(jnp.float32) + bias[None, None, None, :]
+        if res is not None:
+            out = out + res.astype(jnp.float32)
+        return out.astype(odt)
 
 
 class SmallOutConv(nn.Module):

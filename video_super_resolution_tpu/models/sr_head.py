@@ -21,6 +21,37 @@ from video_super_resolution_tpu.models.common import (
 )
 from video_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
 from video_super_resolution_tpu.ops.resize import resize_bilinear
+from video_super_resolution_tpu.ops.pallas.util import should_interpret
+
+
+def _bilinear_ps_kernel(r: int):
+    """(3, 3, 3, 3*r^2) constant HWIO kernel whose conv (with
+    edge-replicate padding) equals ``upsample_bilinear_ps(x, r)`` exactly:
+    output channel c*r^2 + py*r + px holds the bilinear phase (py, px)
+    blend, whose half-pixel tap center (p + 0.5)/r - 0.5 lies within
+    (-0.5, 0.5) — so its two taps per axis always fit the 3x3 window."""
+    import math as _math
+
+    import numpy as np
+
+    k = np.zeros((3, 3, 3, 3 * r * r), np.float32)
+    for py in range(r):
+        cy = (py + 0.5) / r - 0.5
+        ly = _math.floor(cy)
+        fy = cy - ly
+        yw = {ly + 1: 1.0 - fy, ly + 2: fy}
+        for px in range(r):
+            cx = (px + 0.5) / r - 0.5
+            lx = _math.floor(cx)
+            fx = cx - lx
+            xw = {lx + 1: 1.0 - fx, lx + 2: fx}
+            for ky, wy in yw.items():
+                for kx, wx in xw.items():
+                    if wy == 0.0 or wx == 0.0:
+                        continue
+                    for c in range(3):
+                        k[ky, kx, c, c * r * r + py * r + px] = wy * wx
+    return k
 
 
 class SRHead(nn.Module):
@@ -89,9 +120,45 @@ class SRHead(nn.Module):
                               out_packed=packed
                               and self.espcn_mid in (64, 128))(h)
                 packed = packed and self.espcn_mid in (64, 128)
-            out = RoutedConv(3 * self.scale**2, dtype=jnp.float32,
-                             name="subpixel_conv",
-                             in_packed=packed)(h.astype(jnp.float32))
+            import os
+
+            # the subpixel conv runs in the compute dtype on the compiled
+            # TPU route (quality-gated: hard-regime serving eval moves
+            # -0.0031 dB avg / -0.0048 worst clip vs the f32 conv —
+            # QUALITY_serving_r5.json; ~0.5 ms/frame) and f32 under
+            # interpret/CPU (oracle + golden fixtures unchanged).
+            # VSR_SUBPIX_BF16 overrides either way.
+            sdt = (dt if os.environ.get(
+                "VSR_SUBPIX_BF16",
+                "0" if should_interpret() else "1") == "1"
+                   else jnp.float32)
+            # Skip fold (round 5): the bilinear x4 skip in pre-shuffle form
+            # IS a 3x3 conv of the reference frame with a CONSTANT kernel
+            # (half-pixel tap offsets stay within ±1; edge-replicate pad =
+            # the resize's clamp, so the identity is exact everywhere
+            # including borders). Computing it as thin_conv9 + streaming it
+            # through the subpixel conv's res operand replaces the separate
+            # upsample + full-size add pass (measured +4.1 ms stage delta).
+            fold = os.environ.get(
+                "VSR_SKIP_FOLD",
+                "0" if should_interpret() else "1") == "1"
+            if fold:
+                from video_super_resolution_tpu.models.common import thin_conv9
+
+                kmat = jnp.asarray(
+                    _bilinear_ps_kernel(self.scale), jnp.float32)
+                skip_ps = thin_conv9(ref_frame.astype(jnp.float32), kmat,
+                                     jnp.float32, pad_mode="edge")
+                out = RoutedConv(3 * self.scale**2, dtype=sdt,
+                                 out_dtype=jnp.float32, name="subpixel_conv",
+                                 in_packed=packed)(h.astype(sdt),
+                                                   res=skip_ps)
+                if stop_stage in ("sr_conv", "sr_skip"):
+                    return out
+                return pixel_shuffle(out, self.scale)
+            out = RoutedConv(3 * self.scale**2, dtype=sdt,
+                             out_dtype=jnp.float32, name="subpixel_conv",
+                             in_packed=packed)(h.astype(sdt))
             if stop_stage == "sr_conv":
                 return out
             # bilinear skip in pre-shuffle form: add before the single
@@ -123,9 +190,6 @@ class SRHead(nn.Module):
             if self.use_pallas:
                 from video_super_resolution_tpu.ops.pallas.fused_conv import (
                     fused_conv3x3,
-                )
-                from video_super_resolution_tpu.ops.pallas.util import (
-                    should_interpret,
                 )
 
                 h = fused_conv3x3(h.astype(dt), kern.astype(dt),
