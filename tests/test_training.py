@@ -82,6 +82,29 @@ def test_multi_step_matches_sequential(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+def test_compact_transfer_roundtrip(rng):
+    """_compact_batches: uint8 HR is bit-exact for 8-bit-sourced frames
+    (round(u8/255*255) == u8) and the train step's device-side decode
+    reproduces the f32 batch's loss to bf16-input precision."""
+    from video_super_resolution_tpu.training.loop import _compact_batches
+
+    u8 = np.random.default_rng(0).integers(0, 256, (2, 64, 96, 3),
+                                           dtype=np.uint8)
+    hr = (u8 / 255.0).astype(np.float32)
+    lr = np.random.default_rng(1).random((2, 3, 16, 24, 3)).astype(np.float32)
+    [compact] = list(_compact_batches([{"lr": lr, "hr": hr}]))
+    np.testing.assert_array_equal(compact["hr"], u8)     # exact inverse
+
+    cfg = tiny_cfg()
+    state = create_train_state(cfg)
+    step = make_train_step(donate=False)
+    _, m_full = step(state, {"lr": jnp.asarray(lr), "hr": jnp.asarray(hr)})
+    _, m_compact = step(state, {
+        "lr": jnp.asarray(compact["lr"]), "hr": jnp.asarray(compact["hr"])})
+    np.testing.assert_allclose(float(m_compact["loss"]),
+                               float(m_full["loss"]), rtol=2e-3)
+
+
 def test_metrics_keys(rng):
     state = create_train_state(tiny_cfg())
     step = make_train_step()

@@ -137,6 +137,24 @@ def main():
     print(json.dumps({"host_driven_k1_steps_per_s": rec["host_driven_k1_steps_per_s"]}),
           flush=True)
 
+    # -- 3b. host-driven + COMPACT transfer (uint8 HR / bf16 LR) ----------
+    from video_super_resolution_tpu.training.loop import _compact_batches
+
+    batches_c = _device_prefetch(_compact_batches(raw), None)
+    state = state0
+    for _ in range(20):
+        state, metrics = step_fn(state, next(batches_c))
+    float(metrics["loss"])
+    t0 = time.time()
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, next(batches_c))
+    float(metrics["loss"])
+    kc_sps = args.steps / (time.time() - t0)
+    rec["host_driven_k1_compact_steps_per_s"] = round(kc_sps, 2)
+    print(json.dumps(
+        {"host_driven_k1_compact_steps_per_s": rec["host_driven_k1_compact_steps_per_s"]}),
+        flush=True)
+
     # -- 4. host-driven, scan-amortized: K steps per dispatch -------------
     def stack_k(it, k):
         bs = [next(it) for _ in range(k)]
@@ -159,11 +177,14 @@ def main():
     rec[f"host_driven_k{args.k}_steps_per_s"] = round(kk_sps, 2)
     rec["ratio_k1_vs_device"] = round(k1_sps / dev_sps, 3)
     rec["ratio_dispatch_only_vs_device"] = round(disp_sps / dev_sps, 3)
+    rec["ratio_k1_compact_vs_device"] = round(kc_sps / dev_sps, 3)
     rec[f"ratio_k{args.k}_vs_device"] = round(kk_sps / dev_sps, 3)
     rec["verdict"] = (
         "tunnel-bound: dispatch_only ceilings with host_driven_k1 despite "
         "zero input work" if abs(disp_sps - k1_sps) < 0.35 * max(disp_sps, k1_sps)
-        else "input-path owes part of the gap")
+        else "transfer-bound: dispatch_only reaches device-side; the gap is "
+             "the host->device batch transfer (compact transfer recovers "
+             "part of it)")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

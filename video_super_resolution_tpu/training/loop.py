@@ -44,6 +44,25 @@ def _make_batch_stream(cfg: VSRConfig, train_ds: ClipDataset):
     return train_ds.batches(cfg.data.batch_size), (lambda: None), "python"
 
 
+def _compact_batches(batches):
+    """Shrink the host->device transfer 3.3x: HR f32 -> uint8 (EXACT for
+    the native PNG pipeline — the loader produced f32 as u8/255, and
+    round(x*255) inverts it bit-perfectly; the device step divides back),
+    LR f32 -> bf16 (the model casts inputs to its bf16 compute dtype
+    anyway). Motivation: the r5 dispatch-control experiment
+    (BENCH_dispatch_r5.json) showed host-driven training is NOT
+    dispatch-bound (dispatch-only = 99% of device-side) but
+    TRANSFER-bound (~3.7 MB/step at tunnel bandwidth)."""
+    import ml_dtypes
+    import numpy as np
+
+    for b in batches:
+        yield {
+            "lr": np.asarray(b["lr"]).astype(ml_dtypes.bfloat16),
+            "hr": np.round(np.asarray(b["hr"]) * 255.0).astype(np.uint8),
+        }
+
+
 def _device_prefetch(batches, sharding, depth: int = 2):
     """Keep `depth` batches in flight on-device ahead of the consumer.
 
@@ -92,6 +111,14 @@ def train(
         NamedSharding(mesh, P(AXIS_DATA)) if mesh is not None else None
     )
     raw_batches, close_loader, loader_name = _make_batch_stream(cfg, train_ds)
+    # compact transfer: exact for the 8-bit-sourced native pipeline and
+    # bf16 compute (see _compact_batches); float-clip datasets (synthetic
+    # tests) and f32-compute configs keep full-precision transfers
+    import os as _os
+
+    if (loader_name == "native" and cfg.train.compute_dtype == "bfloat16"
+            and _os.environ.get("VSR_COMPACT_TRANSFER", "1") == "1"):
+        raw_batches = _compact_batches(raw_batches)
     batches = _device_prefetch(raw_batches, bsharding)
     logger.log(start_step,
                {"native_loader": 1.0 if loader_name == "native" else 0.0})

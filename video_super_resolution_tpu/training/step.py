@@ -45,6 +45,19 @@ def _step_body(charbonnier_eps: float, mesh: Optional[Mesh]):
         return loss, mse
 
     def step(state: TrainState, batch: dict):
+        # compact-transfer decode (training/loop._compact_batches): HR may
+        # arrive uint8 (exact for 8-bit-sourced pipelines; /255 here on
+        # device) and LR in a reduced float dtype (the model casts to its
+        # compute dtype anyway) — the host->device transfer is the
+        # host-driven bottleneck on this platform (BENCH_dispatch_r5.json)
+        if batch["hr"].dtype == jnp.uint8:
+            batch = dict(batch, hr=batch["hr"].astype(jnp.float32) / 255.0)
+        if batch["lr"].dtype != jnp.float32:
+            # decode to f32 on device: the warp kernel's dequantization
+            # rolls are 32-bit-only (Mosaic "Rotate with non-32-bit data")
+            # and the flow/f32-pinned paths expect f32 frames; the model
+            # re-casts to its compute dtype where it wants bf16
+            batch = dict(batch, lr=batch["lr"].astype(jnp.float32))
         if mesh is not None:
             bspec = NamedSharding(mesh, P(AXIS_DATA))
             batch = jax.lax.with_sharding_constraint(
