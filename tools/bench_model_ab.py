@@ -112,6 +112,11 @@ def main():
                 "1" if "im2col" in parts[2:] else "0")
             os.environ["VSR_SKIP_FOLD"] = (
                 "0" if "noskipfold" in parts[2:] else "1")
+            os.environ["VSR_RESBLOCK_FUSE"] = (
+                "1" if "resfuse" in parts[2:] else "0")
+            os.environ["VSR_SUBPIX_BF16"] = (
+                "0" if "nosubpixbf16" in parts[2:] else
+                os.environ["VSR_SUBPIX_BF16"])
             cfg = base.replace(
                 model=dataclasses.replace(base.model, warp_impl=warp_impl))
             state = create_train_state(cfg)

@@ -353,6 +353,16 @@ class ResBlock(nn.Module):
         h = ConvLReLU(mid, slope=self.slope, dtype=self.dtype,
                       use_pallas=self.use_pallas, in_packed=self.packed,
                       out_packed=self.packed)(x)
+        from video_super_resolution_tpu.ops.pallas.util import should_interpret
+
+        if self.packed and os.environ.get(
+                "VSR_RESBLOCK_FUSE",
+                "0" if should_interpret() else "1") == "1":
+            # identity skip as conv2's res operand: the conv is an opaque
+            # Pallas call XLA cannot fuse the add into, so the plain `x+h`
+            # costs a separate full-size elementwise pass per block
+            return RoutedConv(self.features, dtype=self.dtype, name="Conv_0",
+                              in_packed=True, out_packed=True)(h, res=x)
         h = RoutedConv(self.features, dtype=self.dtype, name="Conv_0",
                        in_packed=self.packed, out_packed=self.packed)(h)
         return x + h
