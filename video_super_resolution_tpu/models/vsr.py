@@ -118,6 +118,8 @@ class VSRModel(nn.Module):
                           dtype=self.dtype, use_pallas=self.use_pallas,
                           out_packed=packed,
                           name="frame_encoder_0")(frames)
+            if stop_stage == "encode:conv1":
+                return e
             e = ConvLReLU(cfg.fusion_channels, slope=cfg.lrelu_slope,
                           dtype=self.dtype, use_pallas=self.use_pallas,
                           in_packed=packed,

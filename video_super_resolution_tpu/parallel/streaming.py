@@ -78,9 +78,15 @@ def make_streaming_program(
             windows = jnp.stack([ext[i: i + window] for i in range(f)], 0)
             return model.apply({"params": params}, windows)
 
+        # check_vma=False: the model body may contain pallas_call (the r5
+        # packed-trunk route runs it even in interpret mode on the CPU
+        # mesh), whose out_shape avals carry no varying-mesh-axes info —
+        # jax 0.9's shard_map vma checker rejects that. Correctness is
+        # unaffected: outputs are per-shard frames, explicitly P(time).
         return jax.jit(jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(), P(_T)), out_specs=P(_T),
+            check_vma=False,
         ))
 
     t_total = None  # static per trace from frames.shape

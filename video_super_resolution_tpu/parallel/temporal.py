@@ -102,11 +102,15 @@ def temporal_shard_forward(
         windows = _windows_from_extended(ext, f, window)
         return forward_windows(windows)
 
+    # check_vma=False: forward_windows may contain pallas_call (packed
+    # trunk route), whose out_shape avals carry no varying-mesh-axes info
+    # — jax 0.9's shard_map vma checker rejects that (see streaming.py).
     return jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=P(axis_name),
             out_specs=P(axis_name),
+            check_vma=False,
         )
     )
