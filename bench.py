@@ -138,7 +138,7 @@ def main():
 
     from video_super_resolution_tpu.runtime.cache import enable_cache
 
-    enable_cache("/tmp/jax_cache_bench")
+    enable_cache(os.environ.get("VSR_BENCH_CACHE", "/tmp/jax_cache_bench"))
     import jax
 
     if args.cpu and jax.config.jax_platforms != "cpu":
